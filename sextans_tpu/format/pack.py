@@ -1,0 +1,343 @@
+"""Pack pass: COO → TPU-native tiled block-sparse format.
+
+This is the TPU-first replacement for the reference's entire preprocessing
+stack — window tiler + PE assigner (src/sparse_helper.h:345-403), the
+out-of-order cycle scheduler (src/sparse_helper.h:292-342) and the 64-bit
+edge encoder / channel interleaver (src/sparse_helper.h:406-473).
+
+Design (see SURVEY.md §7): instead of scheduling single nonzeros into 64
+scalar PEs with RAW-hazard bubbles, we pack A into dense **8 × block_k
+micro-blocks** (8 = float32 sublane count), grouped by (M-tile, K-window):
+
+* every block lies inside one C row-stripe (8 consecutive rows) and one
+  B window, so the kernel's inner loop is a gather of ``block_k`` contiguous
+  B rows + ``block_k`` broadcast-FMAs onto an (8, TILE_N) accumulator slice —
+  full-width VPU work with zero scatter hazards;
+* blocks are grouped into fixed-size *groups* of ``group_blocks`` blocks, all
+  sharing the same (M-tile, K-window) pair — the unit of Pallas grid steps
+  and double-buffered DMA (the analog of the FIFO-batched A stream,
+  src/sextans.cpp:75-100);
+* within a group, blocks are round-robin interleaved across row stripes so
+  consecutive FMAs target different accumulator rows (pipeline-friendly;
+  the OoO scheduler's spirit with none of its correctness burden);
+* M-tiles with no nonzeros get one all-padding group so the kernel still
+  writes their ``beta * C`` epilogue.
+
+Everything is static-shaped: the packed matrix is a pytree of fixed-size
+arrays, so one jit specialization serves any matrix with the same packed
+dimensions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.utils.config import SpmmConfig, cdiv
+
+__all__ = ["PackedSpMatrix", "PackStats", "pack"]
+
+
+@dataclass(frozen=True)
+class PackStats:
+    """Occupancy accounting — the analog of the reference scheduler's
+    padding/bubble overhead (src/sparse_helper.h:390-400)."""
+
+    nnz: int
+    blocks: int  # real (non-padding) blocks
+    slots: int  # blocks * 8 * block_k value slots
+    groups: int  # total groups incl. padding-only groups
+    pad_blocks: int  # padding block slots added by grouping
+    jobs: int  # distinct (m_tile, k_window) pairs with nonzeros
+    empty_mtiles: int
+
+    @property
+    def block_fill(self) -> float:
+        """Fraction of packed value slots that hold real nonzeros."""
+        return self.nnz / self.slots if self.slots else 0.0
+
+    @property
+    def group_fill(self) -> float:
+        """Fraction of group block slots that are real blocks."""
+        total = self.blocks + self.pad_blocks
+        return self.blocks / total if total else 0.0
+
+
+@dataclass
+class PackedSpMatrix:
+    """Tiled 8×block_k block-sparse matrix, ready for the TPU kernels.
+
+    Array layout (all NumPy on host; ``spmm`` moves them to device):
+
+    * ``vals``  (groups, 8, group_blocks*block_k) float32 — block values;
+      sublane = row-within-stripe, lanes = block*block_k + col-within-block.
+      This keeps the native (8, 128) float32 register tiling fully packed.
+    * ``qrow``  (groups, group_blocks) int32 — row-stripe index within the
+      M-tile (global rows = tile_m*m_tile + 8*qrow + 0..7).
+    * ``bcol``  (groups, group_blocks) int32 — element column offset of the
+      block within its K-window (global cols = window_k*k_win + bcol + 0..block_k-1).
+    * ``group_mtile`` (groups+1,) int32 — M-tile of each group, sentinel -1;
+      scalar-prefetched so Pallas index_maps can steer C blocks.
+    * ``group_kwin``  (groups,) int32 — K-window of each group.
+    """
+
+    m: int
+    k: int
+    nnz: int
+    config: SpmmConfig
+    n_mtiles: int
+    n_kwins: int
+    vals: np.ndarray
+    qrow: np.ndarray
+    bcol: np.ndarray
+    group_mtile: np.ndarray
+    group_kwin: np.ndarray
+    stats: PackStats
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.m, self.k)
+
+    @property
+    def n_groups(self) -> int:
+        return int(self.group_kwin.shape[0])
+
+    @property
+    def m_padded(self) -> int:
+        return self.n_mtiles * self.config.tile_m
+
+    @property
+    def k_padded(self) -> int:
+        return self.n_kwins * self.config.window_k
+
+    def nbytes(self) -> int:
+        return sum(
+            a.nbytes
+            for a in (self.vals, self.qrow, self.bcol, self.group_mtile, self.group_kwin)
+        )
+
+    # -- persistence (the reference's closest analog is bitstream reuse via
+    #    TAPAB, README.md:46-48; here the expensive host step is packing) --
+    def save(self, path) -> None:
+        np.savez_compressed(
+            Path(path),
+            m=self.m,
+            k=self.k,
+            nnz=self.nnz,
+            n_mtiles=self.n_mtiles,
+            n_kwins=self.n_kwins,
+            vals=self.vals,
+            qrow=self.qrow,
+            bcol=self.bcol,
+            group_mtile=self.group_mtile,
+            group_kwin=self.group_kwin,
+            config=np.array(
+                [
+                    self.config.tile_m,
+                    self.config.window_k,
+                    self.config.block_k,
+                    self.config.group_blocks,
+                    int(self.config.interleave),
+                ],
+                dtype=np.int64,
+            ),
+            stats=np.array(dataclasses.astuple(self.stats), dtype=np.int64),
+        )
+
+    @staticmethod
+    def load(path) -> "PackedSpMatrix":
+        z = np.load(Path(path))
+        cfg_arr = z["config"]
+        cfg = SpmmConfig(
+            tile_m=int(cfg_arr[0]),
+            window_k=int(cfg_arr[1]),
+            block_k=int(cfg_arr[2]),
+            group_blocks=int(cfg_arr[3]),
+            interleave=bool(cfg_arr[4]),
+        )
+        stats = PackStats(*(int(x) for x in z["stats"]))
+        return PackedSpMatrix(
+            m=int(z["m"]),
+            k=int(z["k"]),
+            nnz=int(z["nnz"]),
+            config=cfg,
+            n_mtiles=int(z["n_mtiles"]),
+            n_kwins=int(z["n_kwins"]),
+            vals=z["vals"],
+            qrow=z["qrow"],
+            bcol=z["bcol"],
+            group_mtile=z["group_mtile"],
+            group_kwin=z["group_kwin"],
+            stats=stats,
+        )
+
+
+def pack(coo: COOMatrix, config: SpmmConfig = SpmmConfig()) -> PackedSpMatrix:
+    """Pack a COO matrix into the tiled block format (vectorized NumPy)."""
+    m, k = coo.shape
+    tm, wk, bk, G = (
+        config.tile_m,
+        config.window_k,
+        config.block_k,
+        config.group_blocks,
+    )
+    tmq = tm // 8  # row stripes per M-tile
+    n_mtiles = max(1, cdiv(m, tm))
+    n_kwins = max(1, cdiv(k, wk))
+    nnz = coo.nnz
+
+    if nnz == 0:
+        return _empty_pack(m, k, config, n_mtiles, n_kwins)
+
+    rows = coo.rows.astype(np.int64)
+    cols = coo.cols.astype(np.int64)
+    vals = coo.vals
+
+    mt = rows // tm
+    kwin = cols // wk
+    br = rows >> 3  # global 8-row stripe
+    bcb = cols // bk  # global block column
+
+    order = np.lexsort((bcb, br, kwin, mt))
+    mt_s, kw_s, br_s, bcb_s = mt[order], kwin[order], br[order], bcb[order]
+    r_s = (rows & 7)[order]
+    j_s = (cols % bk)[order]
+    v_s = vals[order]
+
+    # --- identify unique blocks (consecutive after the sort) ---
+    new_blk = np.ones(nnz, dtype=bool)
+    if nnz > 1:
+        new_blk[1:] = (
+            (mt_s[1:] != mt_s[:-1])
+            | (kw_s[1:] != kw_s[:-1])
+            | (br_s[1:] != br_s[:-1])
+            | (bcb_s[1:] != bcb_s[:-1])
+        )
+    blk_of_edge = np.cumsum(new_blk) - 1
+    nb = int(blk_of_edge[-1]) + 1
+    first = np.flatnonzero(new_blk)
+
+    b_mt = mt_s[first]
+    b_kw = kw_s[first]
+    b_q = (br_s[first] - b_mt * tmq).astype(np.int32)
+    b_c = ((bcb_s[first] * bk) % wk).astype(np.int32)
+
+    # --- densify block values (duplicate coordinates sum, like CSR build) ---
+    dense = np.zeros((nb, 8, bk), dtype=np.float32)
+    np.add.at(dense, (blk_of_edge, r_s, j_s), v_s)
+
+    # --- jobs = (m_tile, k_window) runs ---
+    new_job = np.ones(nb, dtype=bool)
+    if nb > 1:
+        new_job[1:] = (b_mt[1:] != b_mt[:-1]) | (b_kw[1:] != b_kw[:-1])
+    job_of_blk = np.cumsum(new_job) - 1
+    njobs = int(job_of_blk[-1]) + 1
+    job_first = np.flatnonzero(new_job)
+    job_mt = b_mt[job_first].astype(np.int32)
+    job_kw = b_kw[job_first].astype(np.int32)
+    job_sizes = np.bincount(job_of_blk, minlength=njobs)
+
+    # --- schedule blocks within each job ---
+    if config.interleave:
+        # Round-robin across row stripes: sort by (job, occurrence-rank within
+        # (job, stripe), stripe). Blocks are currently sorted by (job, q, bcb),
+        # so rank within (job, q) is positional.
+        runkey_change = np.ones(nb, dtype=bool)
+        if nb > 1:
+            runkey_change[1:] = (job_of_blk[1:] != job_of_blk[:-1]) | (
+                b_q[1:] != b_q[:-1]
+            )
+        run_id = np.cumsum(runkey_change) - 1
+        run_first = np.flatnonzero(runkey_change)
+        rank = np.arange(nb) - run_first[run_id]
+        sched = np.lexsort((b_q, rank, job_of_blk))
+    else:
+        sched = np.arange(nb)
+
+    # --- assign scheduled blocks to fixed-size groups, padding per job ---
+    job_groups = -(-job_sizes // G)
+    grp_offset = np.zeros(njobs + 1, dtype=np.int64)
+    np.cumsum(job_groups, out=grp_offset[1:])
+    ngroups_real = int(grp_offset[-1])
+
+    sched_job = job_of_blk[sched]
+    job_first_pos = np.zeros(njobs + 1, dtype=np.int64)
+    np.cumsum(job_sizes, out=job_first_pos[1:])
+    pos_in_job = np.arange(nb) - job_first_pos[sched_job]
+    dst_group = (grp_offset[sched_job] + pos_in_job // G).astype(np.int64)
+    dst_slot = (pos_in_job % G).astype(np.int64)
+
+    # --- M-tiles with no blocks at all still need a beta*C epilogue group ---
+    present = np.zeros(n_mtiles, dtype=bool)
+    present[job_mt] = True
+    missing = np.flatnonzero(~present).astype(np.int32)
+    ngroups = ngroups_real + len(missing)
+
+    grp_job = np.repeat(np.arange(njobs), job_groups)
+    group_mtile = np.empty(ngroups + 1, dtype=np.int32)
+    group_kwin = np.zeros(ngroups, dtype=np.int32)
+    group_mtile[:ngroups_real] = job_mt[grp_job]
+    group_kwin[:ngroups_real] = job_kw[grp_job]
+    group_mtile[ngroups_real:ngroups] = missing
+    group_mtile[ngroups] = -1  # sentinel for last-group detection
+
+    vp = np.zeros((ngroups, 8, G * bk), dtype=np.float32)
+    lane = (dst_slot[:, None] * bk + np.arange(bk)[None, :])[:, None, :]
+    vp[dst_group[:, None, None], np.arange(8)[None, :, None], lane] = dense[sched]
+
+    qrow = np.zeros((ngroups, G), dtype=np.int32)
+    bcol = np.zeros((ngroups, G), dtype=np.int32)
+    qrow[dst_group, dst_slot] = b_q[sched]
+    bcol[dst_group, dst_slot] = b_c[sched]
+
+    stats = PackStats(
+        nnz=nnz,
+        blocks=nb,
+        slots=nb * 8 * bk,
+        groups=ngroups,
+        pad_blocks=ngroups * G - nb,
+        jobs=njobs,
+        empty_mtiles=len(missing),
+    )
+    return PackedSpMatrix(
+        m=m,
+        k=k,
+        nnz=nnz,
+        config=config,
+        n_mtiles=n_mtiles,
+        n_kwins=n_kwins,
+        vals=vp,
+        qrow=qrow,
+        bcol=bcol,
+        group_mtile=group_mtile,
+        group_kwin=group_kwin,
+        stats=stats,
+    )
+
+
+def _empty_pack(m, k, config, n_mtiles, n_kwins) -> PackedSpMatrix:
+    G, bk = config.group_blocks, config.block_k
+    ngroups = n_mtiles
+    stats = PackStats(0, 0, 0, ngroups, ngroups * G, 0, n_mtiles)
+    group_mtile = np.concatenate(
+        [np.arange(n_mtiles, dtype=np.int32), np.array([-1], dtype=np.int32)]
+    )
+    return PackedSpMatrix(
+        m=m,
+        k=k,
+        nnz=0,
+        config=config,
+        n_mtiles=n_mtiles,
+        n_kwins=n_kwins,
+        vals=np.zeros((ngroups, 8, G * bk), dtype=np.float32),
+        qrow=np.zeros((ngroups, G), dtype=np.int32),
+        bcol=np.zeros((ngroups, G), dtype=np.int32),
+        group_mtile=group_mtile,
+        group_kwin=np.zeros(ngroups, dtype=np.int32),
+        stats=stats,
+    )

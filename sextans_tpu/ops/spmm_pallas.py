@@ -1,0 +1,196 @@
+"""Pallas TPU SpMM kernel over the packed block format.
+
+TPU-native re-design of the reference's entire device dataflow graph
+(src/sextans.cpp:836-984). The ~80 FIFO-connected FPGA processes collapse
+into ONE software-pipelined Pallas kernel:
+
+* ``read_A``/``Scatter_1_2`` (src/sextans.cpp:75-100,785-800) → the Pallas
+  grid pipeline streaming block groups (vals/qrow/bcol) HBM→VMEM with
+  automatic double buffering;
+* ``read_B`` + PEG_Bmtx's window fill (src/sextans.cpp:348-381) → a
+  (window_k, tile_n) B panel block fetched per K-window, steered by the
+  scalar-prefetched ``group_kwin`` array (PrefetchScalarGridSpec);
+* PEG_Bmtx multiply + PEG_Cmtx scatter-accumulate (src/sextans.cpp:297-570)
+  → a VPU micro-kernel: per 8 x block_k A-block, gather ``block_k``
+  contiguous B rows and broadcast-FMA onto an (8, tile_n) slice of the
+  VMEM accumulator. The URAM read-modify-write hazard machinery
+  (DEP_DIST_LOAD_STORE, bubble edges) is unnecessary: blocks never split a
+  row stripe, and the packer's stripe interleave keeps consecutive FMAs on
+  different accumulator rows purely for pipelining;
+* Merger / FloatvMultConst / FloatvAddFloatv / read_C / write_C epilogue
+  (src/sextans.cpp:128-233,802-820) → fused ``alpha*acc + beta*C_in`` on the
+  last group of each M-tile, written back once per (M-tile, N-panel).
+
+Accumulation is float32 throughout (never bf16) to hold the 1e-6 max-abs
+error target (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["spmm_pallas_padded"]
+
+
+def _kernel(
+    # scalar-prefetch refs
+    mt_ref,  # (ngroups+1,) i32 — M-tile of each group, sentinel -1
+    kw_ref,  # (ngroups,) i32 — K-window of each group (unused in body)
+    ab_ref,  # (2,) f32 — alpha, beta
+    # tensor refs
+    vals_ref,  # (1, 8, G*bk) f32 VMEM
+    qrow_ref,  # (1, 1, G) i32 SMEM
+    bcol_ref,  # (1, 1, G) i32 SMEM
+    b_ref,  # (1, window_k, tile_n) f32 VMEM
+    cin_ref,  # (tile_m, tile_n) f32 VMEM
+    out_ref,  # (tile_m, tile_n) f32 VMEM
+    acc_ref,  # (tile_m, tile_n) f32 VMEM scratch, persists across grid steps
+    *,
+    group_blocks: int,
+    block_k: int,
+):
+    g = pl.program_id(1)
+    mt = mt_ref[g]
+    prev_mt = jnp.where(g == 0, jnp.int32(-2), mt_ref[jnp.maximum(g - 1, 0)])
+    is_first = prev_mt != mt
+    is_last = mt_ref[g + 1] != mt  # sentinel guarantees True at the end
+
+    @pl.when(is_first)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bk = block_k
+    per_chunk = max(1, 128 // bk)  # blocks covered by one (8, 128) vals register
+    lanes_per_blk = bk
+    num_chunks = group_blocks // per_chunk
+
+    def chunk_body(t, _):
+        base = pl.multiple_of(t * (per_chunk * lanes_per_blk), 128)
+        vblk = vals_ref[0, :, pl.ds(base, per_chunk * lanes_per_blk)]
+        for u in range(per_chunk):
+            i = t * per_chunk + u
+            q = qrow_ref[0, 0, i]
+            col = bcol_ref[0, 0, i]
+            bv = vblk[:, u * bk : (u + 1) * bk]  # (8, bk), static lane slice
+            if bk >= 8:
+                # bcol is block_k-aligned by construction → sublane-aligned load
+                col = pl.multiple_of(col, bk)
+                brows = b_ref[0, pl.ds(col, bk), :]  # (bk, tile_n)
+                contrib = bv[:, 0:1] * brows[0:1, :]
+                for j in range(1, bk):
+                    contrib = contrib + bv[:, j : j + 1] * brows[j : j + 1, :]
+            else:
+                col = pl.multiple_of(col, bk)
+                contrib = bv[:, 0:1] * b_ref[0, pl.ds(col, 1), :]
+                for j in range(1, bk):
+                    contrib = contrib + bv[:, j : j + 1] * b_ref[0, pl.ds(col + j, 1), :]
+            off = pl.multiple_of(q * 8, 8)
+            acc_ref[pl.ds(off, 8), :] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
+
+    @pl.when(is_last)
+    def _epilogue():
+        alpha = ab_ref[0]
+        beta = ab_ref[1]
+        out_ref[...] = alpha * acc_ref[...] + beta * cin_ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m",
+        "window_k",
+        "block_k",
+        "group_blocks",
+        "tile_n",
+        "interpret",
+    ),
+)
+def spmm_pallas_padded(
+    vals: jax.Array,  # (ngroups, 8, G*bk) f32
+    qrow: jax.Array,  # (ngroups, G) i32
+    bcol: jax.Array,  # (ngroups, G) i32
+    group_mtile: jax.Array,  # (ngroups+1,) i32
+    group_kwin: jax.Array,  # (ngroups,) i32
+    b_padded: jax.Array,  # (k_padded, n_padded) f32
+    c_padded: jax.Array,  # (m_padded, n_padded) f32
+    alpha: jax.Array,
+    beta: jax.Array,
+    *,
+    tile_m: int,
+    window_k: int,
+    block_k: int,
+    group_blocks: int,
+    tile_n: int,
+    interpret: bool = False,
+) -> jax.Array:
+    ngroups = vals.shape[0]
+    m_padded, n_padded = c_padded.shape
+    k_padded = b_padded.shape[0]
+    n_kwins = k_padded // window_k
+    n_panels = n_padded // tile_n
+    G, bk = group_blocks, block_k
+
+    b3 = b_padded.reshape(n_kwins, window_k, n_padded)
+    ab = jnp.stack([alpha, beta]).astype(jnp.float32)
+    qrow3 = qrow.reshape(ngroups, 1, G)
+    bcol3 = bcol.reshape(ngroups, 1, G)
+
+    grid = (n_panels, ngroups)
+
+    def vals_idx(n, g, mt, kw, ab_):
+        return (g, 0, 0)
+
+    def edge_idx(n, g, mt, kw, ab_):
+        return (g, 0, 0)
+
+    def b_idx(n, g, mt, kw, ab_):
+        return (kw[g], 0, n)
+
+    def c_idx(n, g, mt, kw, ab_):
+        return (mt[g], n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, G * bk), vals_idx),
+            # SMEM blocks must cover the array's last two dims exactly →
+            # index arrays are shipped as (ngroups, 1, G).
+            pl.BlockSpec((1, 1, G), edge_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, G), edge_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, window_k, tile_n), b_idx),
+            pl.BlockSpec((tile_m, tile_n), c_idx),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), c_idx),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+    )
+
+    kernel = functools.partial(_kernel, group_blocks=G, block_k=bk)
+
+    flops_per_group = G * 8 * bk * 2 * tile_n
+    cost = pl.CostEstimate(
+        flops=flops_per_group * ngroups * n_panels,
+        bytes_accessed=(
+            vals.size * 4 + b3.size * 4 + 2 * c_padded.size * 4
+        ),
+        transcendentals=0,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_padded, n_padded), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(group_mtile, group_kwin, ab, vals, qrow3, bcol3, b3, c_padded)

@@ -1,0 +1,86 @@
+"""Typed configuration for the SpMM pipeline.
+
+The reference hard-codes its architecture knobs as compile-time constants
+(NUM_CH_SPARSE / WINDOW_SIZE / DEP_DIST_LOAD_STORE / URAM_DEPTH,
+src/sextans.h:7-15). Here they become a runtime dataclass the autotuner can
+sweep (SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+__all__ = ["SpmmConfig", "cdiv", "round_up"]
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@dataclass(frozen=True)
+class SpmmConfig:
+    """Tiling configuration for pack + kernel.
+
+    TPU mapping of the reference's architecture constants:
+
+    * ``tile_m``   — rows per C tile resident in VMEM during accumulation;
+      the analog of the 64-PE x URAM accumulator partition (src/sextans.h:15).
+    * ``window_k`` — columns of A (= rows of B) per VMEM-resident B panel;
+      the analog of WINDOW_SIZE=4096 (src/sextans.h:11).
+    * ``block_k``  — BSR block width: A is packed into dense 8 x block_k
+      sub-blocks (8 = float32 sublane count). Replaces the reference's
+      per-nonzero 64-bit edge encoding (src/sparse_helper.h:406-473) with an
+      MXU/VPU-friendly dense micro-tile.
+    * ``group_blocks`` — blocks per kernel grid step (the unit of double
+      buffering); analog of the FIFO batch granularity.
+    * ``tile_n``   — N-panel width (lane-dim tile); the analog of the 8-column
+      output slab (src/sextans.cpp:57), widened to the TPU's 128 lanes.
+    * ``interleave`` — round-robin blocks across row-stripes inside a tile so
+      consecutive FMAs hit different accumulator rows; the spiritual successor
+      of the out-of-order RAW scheduler (src/sparse_helper.h:292-342) — here
+      it is a pure performance hint, never a correctness requirement.
+    """
+
+    tile_m: int = 512
+    window_k: int = 2048
+    block_k: int = 8
+    group_blocks: int = 256
+    tile_n: Optional[int] = None  # None → chosen from N at spmm time
+    interleave: bool = True
+    # Kernel variant: "vpu" (broadcast-FMA micro-kernel) is the default;
+    # "mxu" uses one-hot scatter matmuls (kept for autotune comparison).
+    kernel: str = "vpu"
+
+    def __post_init__(self):
+        if self.tile_m % 8 != 0 or self.tile_m <= 0:
+            raise ValueError("tile_m must be a positive multiple of 8")
+        if self.block_k not in (1, 2, 4, 8, 16, 32, 64, 128):
+            raise ValueError("block_k must be a power of two <= 128")
+        if self.window_k % self.block_k != 0:
+            raise ValueError("window_k must be a multiple of block_k")
+        if self.window_k % 8 != 0:
+            raise ValueError("window_k must be a multiple of 8")
+        chunk = max(1, 128 // self.block_k)
+        if self.group_blocks % chunk != 0:
+            raise ValueError(
+                f"group_blocks must be a multiple of {chunk} (=128/block_k)"
+            )
+        if self.tile_n is not None and self.tile_n % 128 != 0:
+            raise ValueError("tile_n must be a multiple of 128 (TPU lane count)")
+
+    @property
+    def stripes_per_tile(self) -> int:
+        return self.tile_m // 8
+
+    def with_(self, **kw) -> "SpmmConfig":
+        return replace(self, **kw)
+
+    def resolve_tile_n(self, n: int) -> int:
+        if self.tile_n is not None:
+            return self.tile_n
+        return min(round_up(n, 128), 512)
