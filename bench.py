@@ -1,0 +1,119 @@
+"""Headline benchmark: SpMM GFLOPS on the real TPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "GFLOPS", "vs_baseline": N}
+
+Baseline = the reference U280 bitstream's structural peak, ~259 FP32 GFLOP/s
+(BASELINE.md: 64 nnz/cycle x 16 FLOP x 253 MHz). GFLOPS formula matches the
+reference host: 2*N*(nnz+M)/t (src/sextans-host.cpp:255-259). Timing chains
+kernel invocations through a data dependency (the rp_time analog,
+src/sextans.cpp:54-60) so the async runtime cannot overlap repeats.
+
+Diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+U280_PEAK_GFLOPS = 259.0
+NASA4704 = Path("/root/reference/matrices/nasa4704/nasa4704.mtx")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def load_workload():
+    """nasa4704 if the reference mount is present, else an equivalent
+    synthetic FEM-like banded matrix."""
+    from sextans_tpu.format.coo import COOMatrix
+    from sextans_tpu.io.mtx import read_mtx
+
+    if NASA4704.exists():
+        log(f"workload: {NASA4704}")
+        return "nasa4704", read_mtx(NASA4704)
+    log("workload: synthetic banded (reference mount absent)")
+    return "synthetic4704", COOMatrix.random(
+        4704, 4704, 104756, seed=42, banded=True, bandwidth=300
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sextans_tpu.format.csr import CSRMatrix
+    from sextans_tpu.ops.golden import golden_spmm
+    from sextans_tpu.ops.spmm import spmm
+    from sextans_tpu.format.pack import pack
+    from sextans_tpu.utils.config import SpmmConfig
+    from sextans_tpu.utils.timing import time_chained
+    from sextans_tpu.utils.verify import gflops, verify
+
+    platform = jax.devices()[0].platform
+    log(f"devices: {jax.devices()}")
+
+    name, coo = load_workload()
+    m, k = coo.shape
+    n = 512
+    nnz = coo.nnz
+
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    alpha, beta = 0.85, -2.06
+
+    cfg = SpmmConfig()
+    t0 = time.perf_counter()
+    packed = pack(coo, cfg)
+    log(
+        f"pack: {time.perf_counter()-t0:.3f}s, blocks={packed.stats.blocks} "
+        f"fill={packed.stats.block_fill:.3f} groups={packed.n_groups}"
+    )
+
+    backend = "pallas" if platform == "tpu" else "xla"
+    b_dev = jnp.asarray(b)  # upload dense operands once (host link is slow)
+    step = lambda c_dev: spmm(packed, b_dev, alpha, beta, c_dev, backend=backend)  # noqa: E731
+
+    # correctness gate first (reference verifier semantics)
+    got = np.asarray(step(jnp.asarray(c)))
+    ref = golden_spmm(CSRMatrix.from_coo(coo), b, alpha, beta, c)
+    res = verify(ref, got)
+    log(str(res))
+    if not res.passed:
+        print(
+            json.dumps(
+                {
+                    "metric": f"spmm_gflops_{name}_n{n}",
+                    "value": 0.0,
+                    "unit": "GFLOPS",
+                    "vs_baseline": 0.0,
+                    "error": "verification failed",
+                }
+            )
+        )
+        return 1
+
+    secs = time_chained(step, jnp.asarray(c), rp_time=20, warmup=3)
+    value = gflops(nnz, m, n, secs)
+    log(f"kernel: {secs*1e3:.3f} ms -> {value:.1f} GFLOPS (incl. host padding path)")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"spmm_gflops_{name}_n{n}",
+                "value": round(value, 2),
+                "unit": "GFLOPS",
+                "vs_baseline": round(value / U280_PEAK_GFLOPS, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

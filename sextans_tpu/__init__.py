@@ -21,7 +21,8 @@ from sextans_tpu.format.csr import CSCMatrix, CSRMatrix
 from sextans_tpu.format.pack import PackedSpMatrix, PackStats, pack
 from sextans_tpu.io.mtx import MtxHeader, read_mtx, read_mtx_coo, write_mtx
 from sextans_tpu.ops.golden import golden_spmm, golden_spmm_exact, spmm_flops
-from sextans_tpu.ops.spmm import prepare, spmm
+from sextans_tpu.ops.plan import SpmmPlan
+from sextans_tpu.ops.spmm import plan, prepare, spmm
 from sextans_tpu.utils.config import SpmmConfig
 from sextans_tpu.utils.verify import VerifyResult, gflops, verify
 
@@ -41,6 +42,8 @@ __all__ = [
     "write_mtx",
     "pack",
     "prepare",
+    "plan",
+    "SpmmPlan",
     "spmm",
     "golden_spmm",
     "golden_spmm_exact",

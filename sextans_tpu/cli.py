@@ -1,0 +1,131 @@
+"""Command-line interface — parity with the reference host binary.
+
+Reference usage (src/sextans-host.cpp:26-48)::
+
+    ./sextans [matrix A file] [N] [rp_time] [alpha] [beta]
+
+Here::
+
+    python -m sextans_tpu [matrix A file] [N] [rp_time] [alpha] [beta] [--backend ...]
+
+Same positional semantics, same synthesized B (all 1.0, src/sextans-host.cpp:100-104)
+and C ((m+1)(n+1)/M/N, src/sextans-host.cpp:107-111), same defaults
+alpha=0.85 beta=-2.06 rp_time=1 (src/sextans-host.cpp:29-31), same GFLOPS
+formula and Success!/Failed verification report (src/sextans-host.cpp:253-290).
+N is rounded up to a multiple of 8 like tapa::round_up<8> (src/sextans-host.cpp:51).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from sextans_tpu.format.csr import CSRMatrix
+from sextans_tpu.format.pack import pack
+from sextans_tpu.io.mtx import read_mtx
+from sextans_tpu.ops.golden import golden_spmm
+from sextans_tpu.ops.spmm import spmm
+from sextans_tpu.utils.config import SpmmConfig, round_up
+from sextans_tpu.utils.timing import time_chained
+from sextans_tpu.utils.verify import gflops, verify
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sextans_tpu",
+        description="TPU-native SpMM: C = alpha*A*B + beta*C over Matrix Market inputs",
+    )
+    p.add_argument("matrix", help="Matrix Market (.mtx/.mtx.gz) sparse A file")
+    p.add_argument("N", type=int, help="dense columns (rounded up to multiple of 8)")
+    p.add_argument("rp_time", type=int, nargs="?", default=1, help="kernel repeats for timing")
+    p.add_argument("alpha", type=float, nargs="?", default=0.85)
+    p.add_argument("beta", type=float, nargs="?", default=-2.06)
+    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--tile-m", type=int, default=None)
+    p.add_argument("--window-k", type=int, default=None)
+    p.add_argument("--block-k", type=int, default=None)
+    p.add_argument("--group-blocks", type=int, default=None)
+    p.add_argument("--skip-cpu", action="store_true", help="skip the golden CPU run")
+    p.add_argument("--save-packed", default=None, help="save packed A to .npz")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print("start host")
+
+    n = round_up(args.N, 8)
+    print(f"N = {n}")
+    print(f"alpha = {args.alpha}")
+    print(f"beta = {args.beta}")
+
+    print("Reading sparse A matrix...", flush=True)
+    coo = read_mtx(args.matrix)
+    m, k = coo.shape
+    nnz = coo.nnz
+    print("done")
+    print("Matrix size:")
+    print(f"A: sparse matrix, {m} x {k}. NNZ = {nnz}")
+    print(f"B: dense matrix, {k} x {n}")
+    print(f"C: dense matrix, {m} x {n}")
+
+    # Deterministic dense operands, matching the reference host exactly.
+    b = np.ones((k, n), dtype=np.float32)
+    mm, nn = np.meshgrid(np.arange(m), np.arange(n), indexing="ij")
+    c = ((mm + 1.0) * (nn + 1.0) / m / n).astype(np.float32)
+
+    cfg_kwargs = {}
+    for name in ("tile_m", "window_k", "block_k", "group_blocks"):
+        v = getattr(args, name)
+        if v is not None:
+            cfg_kwargs[name] = v
+    cfg = SpmmConfig(**cfg_kwargs)
+
+    print("Packing sparse A for TPU ...", flush=True)
+    t0 = time.perf_counter()
+    packed = pack(coo, cfg)
+    t_pack = time.perf_counter() - t0
+    s = packed.stats
+    print(
+        f"done ({t_pack * 1e3:.1f} msec): {s.blocks} blocks, "
+        f"fill {s.block_fill:.3f}, {s.groups} groups, group fill {s.group_fill:.3f}"
+    )
+    if args.save_packed:
+        packed.save(args.save_packed)
+        print(f"packed A saved to {args.save_packed}")
+
+    c_ref = None
+    if not args.skip_cpu:
+        print("Run spmm on cpu...", flush=True)
+        csr = CSRMatrix.from_coo(coo)
+        t0 = time.perf_counter()
+        c_ref = golden_spmm(csr, b, args.alpha, args.beta, c)
+        t_cpu = time.perf_counter() - t0
+        print(f"done ({t_cpu * 1e3:.3f} msec)")
+        print(f"CPU GFLOPS: {gflops(nnz, m, n, t_cpu):.3f}")
+
+    print("launch kernel", flush=True)
+    import jax
+
+    b_dev = jax.numpy.asarray(b)  # upload once; host->device link dominates otherwise
+    step = lambda c_dev: spmm(  # noqa: E731
+        packed, b_dev, args.alpha, args.beta, c_dev, backend=args.backend
+    )
+    c0 = jax.numpy.asarray(c)
+    t_kernel = time_chained(step, c0, rp_time=args.rp_time)
+    print(f"Kernel time is {t_kernel * 1e3:f} ms")
+    print(f"GFLOPS:{gflops(nnz, m, n, t_kernel):f}")
+
+    if c_ref is not None:
+        got = np.asarray(step(c0))
+        result = verify(c_ref, got)
+        print(result)
+        return 0 if result.passed else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

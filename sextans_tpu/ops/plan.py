@@ -1,0 +1,100 @@
+"""SpmmPlan: a reusable, device-resident execution plan for one packed matrix.
+
+The reference host uploads A/B/C channel buffers once and then invokes the
+kernel rp_time times in-device (src/sextans-host.cpp:236-252). The TPU analog:
+``SpmmPlan`` device-puts the packed arrays once and jit-compiles a single
+program that pads B/C, runs the kernel backend, and slices the result — so a
+steady-state call moves only B and C, with zero host-side repacking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sextans_tpu.format.pack import PackedSpMatrix
+from sextans_tpu.utils.config import round_up
+
+__all__ = ["SpmmPlan"]
+
+
+class SpmmPlan:
+    """Compiled SpMM executor for a fixed (packed A, N, backend)."""
+
+    def __init__(
+        self,
+        packed: PackedSpMatrix,
+        n: int,
+        backend: str = "auto",
+        tile_n: Optional[int] = None,
+    ):
+        if backend == "auto":
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        self.backend = backend
+        self.packed = packed
+        cfg = packed.config
+        self.m, self.k = packed.shape
+        self.n = n
+        self.tile_n = tile_n or cfg.resolve_tile_n(n)
+        self.n_padded = round_up(n, self.tile_n)
+
+        # one-time device upload of the packed operand
+        self._dev = (
+            jnp.asarray(packed.vals),
+            jnp.asarray(packed.qrow),
+            jnp.asarray(packed.bcol),
+            jnp.asarray(packed.group_mtile),
+            jnp.asarray(packed.group_kwin),
+        )
+
+        m, k = self.m, self.k
+        m_padded, k_padded = packed.m_padded, packed.k_padded
+        n_, n_padded = self.n, self.n_padded
+        kernel_kwargs = dict(
+            tile_m=cfg.tile_m,
+            window_k=cfg.window_k,
+            block_k=cfg.block_k,
+            group_blocks=cfg.group_blocks,
+        )
+
+        if backend == "xla":
+            from sextans_tpu.ops.spmm_xla import spmm_xla_padded as run
+
+            extra = {}
+        elif backend in ("pallas", "pallas_interpret"):
+            from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded as run
+
+            extra = dict(
+                tile_n=self.tile_n, interpret=(backend == "pallas_interpret")
+            )
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+        def _step(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
+            b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
+            c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
+            out = run(
+                vals, qrow, bcol, gmt, gkw, b_p, c_p, alpha, beta,
+                **kernel_kwargs, **extra,
+            )
+            return out[:m, :n_]
+
+        self._jit = jax.jit(_step)
+
+    def __call__(self, b, alpha=1.0, beta=0.0, c=None) -> jax.Array:
+        b = jnp.asarray(b, dtype=jnp.float32)
+        if b.shape != (self.k, self.n):
+            raise ValueError(f"B must be ({self.k}, {self.n}), got {b.shape}")
+        if c is None:
+            if float(beta) != 0.0:
+                raise ValueError("beta != 0 requires an input C")
+            c = jnp.zeros((self.m, self.n), dtype=jnp.float32)
+        else:
+            c = jnp.asarray(c, dtype=jnp.float32)
+            if c.shape != (self.m, self.n):
+                raise ValueError(f"C must be ({self.m}, {self.n}), got {c.shape}")
+        return self._jit(
+            *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
+        )

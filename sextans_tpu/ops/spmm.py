@@ -18,14 +18,13 @@ from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.format.csr import CSRMatrix, CSCMatrix
 from sextans_tpu.format.pack import PackedSpMatrix, pack
-from sextans_tpu.utils.config import SpmmConfig, round_up
+from sextans_tpu.utils.config import SpmmConfig
 
-__all__ = ["spmm", "prepare"]
+__all__ = ["spmm", "prepare", "plan"]
 
 MatrixLike = Union[PackedSpMatrix, COOMatrix, CSRMatrix, CSCMatrix]
 
@@ -40,13 +39,6 @@ def prepare(a: MatrixLike, config: Optional[SpmmConfig] = None) -> PackedSpMatri
     if not isinstance(a, COOMatrix):
         raise TypeError(f"unsupported sparse matrix type {type(a)!r}")
     return pack(a, cfg)
-
-
-def _pad2d(x: jax.Array, rows: int, cols: int) -> jax.Array:
-    pr, pc = rows - x.shape[0], cols - x.shape[1]
-    if pr == 0 and pc == 0:
-        return x
-    return jnp.pad(x, ((0, pr), (0, pc)))
 
 
 def spmm(
@@ -68,67 +60,24 @@ def spmm(
     supplied; here it is optional for the common beta=0 case).
     """
     packed = prepare(a, config)
-    cfg = packed.config
     m, k = packed.shape
 
     b = jnp.asarray(b, dtype=jnp.float32)
     if b.ndim != 2 or b.shape[0] != k:
         raise ValueError(f"B must be ({k}, N) dense, got {b.shape}")
     n = b.shape[1]
+    return plan(packed, n, backend=backend)(b, alpha, beta, c)
 
-    tile_n = cfg.resolve_tile_n(n)
-    n_padded = round_up(n, tile_n)
-    b_padded = _pad2d(b, packed.k_padded, n_padded)
 
-    if c is None:
-        if float(beta) != 0.0:
-            raise ValueError("beta != 0 requires an input C")
-        c_padded = jnp.zeros((packed.m_padded, n_padded), dtype=jnp.float32)
-    else:
-        c = jnp.asarray(c, dtype=jnp.float32)
-        if c.shape != (m, n):
-            raise ValueError(f"C must be ({m}, {n}), got {c.shape}")
-        c_padded = _pad2d(c, packed.m_padded, n_padded)
+def plan(packed: PackedSpMatrix, n: int, backend: str = "auto"):
+    """Get (and cache on the packed matrix) a device-resident SpmmPlan."""
+    from sextans_tpu.ops.plan import SpmmPlan
 
-    if backend == "auto":
-        on_tpu = jax.devices()[0].platform == "tpu"
-        backend = "pallas" if on_tpu else "xla"
-
-    alpha_arr = jnp.float32(alpha)
-    beta_arr = jnp.float32(beta)
-
-    kwargs = dict(
-        tile_m=cfg.tile_m,
-        window_k=cfg.window_k,
-        block_k=cfg.block_k,
-        group_blocks=cfg.group_blocks,
-    )
-    args = (
-        jnp.asarray(packed.vals),
-        jnp.asarray(packed.qrow),
-        jnp.asarray(packed.bcol),
-        jnp.asarray(packed.group_mtile),
-        jnp.asarray(packed.group_kwin),
-        b_padded,
-        c_padded,
-        alpha_arr,
-        beta_arr,
-    )
-
-    if backend == "xla":
-        from sextans_tpu.ops.spmm_xla import spmm_xla_padded
-
-        out = spmm_xla_padded(*args, **kwargs)
-    elif backend in ("pallas", "pallas_interpret"):
-        from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
-
-        out = spmm_pallas_padded(
-            *args,
-            **kwargs,
-            tile_n=tile_n,
-            interpret=(backend == "pallas_interpret"),
-        )
-    else:
-        raise ValueError(f"unknown backend {backend!r}")
-
-    return out[:m, :n]
+    cache = getattr(packed, "_plan_cache", None)
+    if cache is None:
+        cache = {}
+        packed._plan_cache = cache
+    key = (n, backend)
+    if key not in cache:
+        cache[key] = SpmmPlan(packed, n, backend=backend)
+    return cache[key]

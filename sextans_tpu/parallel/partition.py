@@ -1,0 +1,155 @@
+"""Row-block partitioning of a sparse matrix across devices.
+
+The reference's parallel memory system is 29 dedicated HBM channels on one
+FPGA (link_config.ini:2-34). The TPU-native rebirth of that bandwidth
+parallelism is *chip* parallelism (SURVEY.md §2.4): A and C are 1-D
+row-block sharded over a device mesh, B is replicated, and each chip runs
+the single-chip kernel on its row slab — no cross-chip communication is
+needed for the row-sharded formulation (C rows live where A rows live).
+
+``pack_sharded`` splits the rows into ``n_shards`` equal padded slabs, packs
+each independently, then pads every shard's group count to the common max so
+the stacked arrays are SPMD-uniform. Padding groups *extend the last real
+group run* of each shard (same m-tile, zero values) so the kernel's
+first/last-group epilogue logic is untouched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.format.pack import PackedSpMatrix, pack
+from sextans_tpu.utils.config import SpmmConfig, cdiv, round_up
+
+__all__ = ["ShardedSpMatrix", "pack_sharded"]
+
+
+@dataclass
+class ShardedSpMatrix:
+    """Stacked per-device packed shards (leading axis = device)."""
+
+    m: int  # global rows
+    k: int
+    nnz: int
+    config: SpmmConfig
+    n_shards: int
+    m_local: int  # padded rows per shard
+    n_mtiles_local: int
+    n_kwins: int
+    # stacked arrays, leading axis n_shards:
+    vals: np.ndarray  # (S, ngroups, 8, G*bk)
+    qrow: np.ndarray  # (S, ngroups, G)
+    bcol: np.ndarray  # (S, ngroups, G)
+    group_mtile: np.ndarray  # (S, ngroups+1)
+    group_kwin: np.ndarray  # (S, ngroups)
+    shards: List[PackedSpMatrix]  # per-shard metadata (pre-padding)
+
+    @property
+    def m_padded(self) -> int:
+        return self.n_shards * self.m_local
+
+    @property
+    def k_padded(self) -> int:
+        return self.n_kwins * self.config.window_k
+
+    @property
+    def n_groups(self) -> int:
+        return int(self.group_kwin.shape[1])
+
+
+def _pad_shard_groups(p: PackedSpMatrix, ngroups: int) -> PackedSpMatrix:
+    """Extend a shard to ``ngroups`` groups with zero-value padding groups
+    that continue the last real group's m-tile run."""
+    cur = p.n_groups
+    if cur == ngroups:
+        return p
+    extra = ngroups - cur
+    G, bk = p.config.group_blocks, p.config.block_k
+    last_mt = p.group_mtile[cur - 1]
+    vals = np.concatenate(
+        [p.vals, np.zeros((extra, 8, G * bk), dtype=np.float32)], axis=0
+    )
+    qrow = np.concatenate([p.qrow, np.zeros((extra, G), dtype=np.int32)], axis=0)
+    bcol = np.concatenate([p.bcol, np.zeros((extra, G), dtype=np.int32)], axis=0)
+    group_kwin = np.concatenate(
+        [p.group_kwin, np.zeros(extra, dtype=np.int32)], axis=0
+    )
+    group_mtile = np.concatenate(
+        [
+            p.group_mtile[:cur],
+            np.full(extra, last_mt, dtype=np.int32),
+            np.array([-1], dtype=np.int32),
+        ]
+    )
+    return PackedSpMatrix(
+        m=p.m,
+        k=p.k,
+        nnz=p.nnz,
+        config=p.config,
+        n_mtiles=p.n_mtiles,
+        n_kwins=p.n_kwins,
+        vals=vals,
+        qrow=qrow,
+        bcol=bcol,
+        group_mtile=group_mtile,
+        group_kwin=group_kwin,
+        stats=p.stats,
+    )
+
+
+def pack_sharded(
+    coo: COOMatrix, n_shards: int, config: SpmmConfig = SpmmConfig()
+) -> ShardedSpMatrix:
+    """Split rows into ``n_shards`` contiguous slabs and pack each."""
+    m, k = coo.shape
+    tm = config.tile_m
+    # Equal per-shard row slab, multiple of tile_m.
+    m_local = round_up(cdiv(max(m, 1), n_shards), tm)
+    n_kwins = max(1, cdiv(k, config.window_k))
+
+    shards: List[PackedSpMatrix] = []
+    for s in range(n_shards):
+        lo, hi = s * m_local, min((s + 1) * m_local, m)
+        if lo >= m:
+            sel = np.zeros(0, dtype=bool)
+            local = COOMatrix(
+                (m_local, k),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.float32),
+            )
+        else:
+            sel = (coo.rows >= lo) & (coo.rows < hi)
+            local = COOMatrix(
+                (m_local, k),
+                coo.rows[sel] - lo,
+                coo.cols[sel],
+                coo.vals[sel],
+            )
+        p = pack(local, config)
+        assert p.n_kwins == n_kwins and p.n_mtiles == m_local // tm
+        shards.append(p)
+
+    ngroups = max(p.n_groups for p in shards)
+    padded = [_pad_shard_groups(p, ngroups) for p in shards]
+
+    return ShardedSpMatrix(
+        m=m,
+        k=k,
+        nnz=coo.nnz,
+        config=config,
+        n_shards=n_shards,
+        m_local=m_local,
+        n_mtiles_local=m_local // tm,
+        n_kwins=n_kwins,
+        vals=np.stack([p.vals for p in padded]),
+        qrow=np.stack([p.qrow for p in padded]),
+        bcol=np.stack([p.bcol for p in padded]),
+        group_mtile=np.stack([p.group_mtile for p in padded]),
+        group_kwin=np.stack([p.group_kwin for p in padded]),
+        shards=shards,
+    )

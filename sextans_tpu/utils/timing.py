@@ -1,0 +1,41 @@
+"""Benchmark timing harness.
+
+The reference repeats the kernel in-device ``rp_time`` times and divides the
+wall time (src/sextans-host.cpp:223,237-252; src/sextans.cpp:53-57). The TPU
+analog chains ``rp_time`` kernel invocations through a data dependency
+(feeding C back in) so the device cannot overlap the repeats, then divides by
+the repeat count. A plain loop of independent dispatches overlaps under the
+async runtime and reports impossibly low latency.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+
+__all__ = ["time_chained"]
+
+
+def time_chained(
+    step: Callable[[jax.Array], jax.Array],
+    c0: jax.Array,
+    rp_time: int = 10,
+    warmup: int = 2,
+) -> float:
+    """Time ``step`` (C -> C') chained ``rp_time`` times; returns seconds/call.
+
+    ``step`` must consume and produce an array of the same shape so the chain
+    forms a true data dependency (the rp_time loop of src/sextans.cpp:54-60).
+    """
+    c = c0
+    for _ in range(warmup):
+        c = step(c)
+    jax.block_until_ready(c)
+    c = c0
+    t0 = time.perf_counter()
+    for _ in range(rp_time):
+        c = step(c)
+    jax.block_until_ready(c)
+    return (time.perf_counter() - t0) / max(rp_time, 1)

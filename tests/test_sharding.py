@@ -1,0 +1,82 @@
+"""Multi-device row-block sharded SpMM tests on the virtual 8-CPU mesh
+(the `hwsim` analog — SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.format.csr import CSRMatrix
+from sextans_tpu.ops.golden import golden_spmm_exact
+from sextans_tpu.parallel.partition import pack_sharded
+from sextans_tpu.parallel.sharding import make_mesh, spmm_sharded
+from sextans_tpu.utils.config import SpmmConfig
+
+CFG = SpmmConfig(tile_m=32, window_k=128, block_k=8, group_blocks=16, tile_n=128)
+
+
+def _problem(m, k, n, nnz, seed=0):
+    coo = COOMatrix.random(m, k, nnz, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    return coo, b, c
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_sharded_matches_golden(n_shards):
+    coo, b, c = _problem(300, 200, 64, 3000, seed=n_shards)
+    sharded = pack_sharded(coo, n_shards, CFG)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(
+        spmm_sharded(sharded, b, 0.85, -2.06, c, backend="xla")
+    )
+    assert got.shape == (300, 64)
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_sharded_uneven_rows():
+    """M not divisible by shard count — padding slabs must stay silent."""
+    coo, b, c = _problem(173, 97, 16, 900, seed=3)
+    sharded = pack_sharded(coo, 8, CFG)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 2.0, 0.5, c)
+    got = np.asarray(spmm_sharded(sharded, b, 2.0, 0.5, c, backend="xla"))
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_sharded_empty_shard():
+    """All nonzeros in the first rows — later shards are pure epilogue."""
+    coo = COOMatrix(
+        (256, 64),
+        rows=np.array([0, 1, 2], dtype=np.int32),
+        cols=np.array([0, 5, 9], dtype=np.int32),
+        vals=np.array([1.0, 2.0, 3.0], dtype=np.float32),
+    )
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((64, 8)).astype(np.float32)
+    c = rng.standard_normal((256, 8)).astype(np.float32)
+    sharded = pack_sharded(coo, 4, CFG)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 1.0, -1.0, c)
+    got = np.asarray(spmm_sharded(sharded, b, 1.0, -1.0, c, backend="xla"))
+    assert np.max(np.abs(got - want)) < 1e-5
+
+
+def test_output_row_sharded():
+    """Result C rows must land on the device owning the A row slab."""
+    coo, b, c = _problem(256, 128, 16, 1500, seed=11)
+    sharded = pack_sharded(coo, 8, CFG)
+    mesh = make_mesh(8)
+    out = spmm_sharded(sharded, b, 1.0, 0.0, mesh=mesh, backend="xla")
+    # before slicing to (m, n) the result is row-sharded; slicing keeps it
+    assert len(out.devices()) == 8
+
+
+def test_mesh_size_mismatch_raises():
+    coo, b, _ = _problem(64, 64, 8, 200, seed=5)
+    sharded = pack_sharded(coo, 4, CFG)
+    with pytest.raises(ValueError, match="mesh"):
+        spmm_sharded(sharded, b, mesh=make_mesh(2), backend="xla")
