@@ -177,9 +177,24 @@ class PackedSpMatrix:
         )
 
 
-def pack(coo: COOMatrix, config: SpmmConfig = SpmmConfig()) -> PackedSpMatrix:
-    """Pack a COO matrix into the tiled block format (vectorized NumPy)."""
+def pack(
+    coo: COOMatrix, config: SpmmConfig = SpmmConfig(), impl: str = "auto"
+) -> PackedSpMatrix:
+    """Pack a COO matrix into the tiled block format.
+
+    ``impl``: "native" (C++ runtime, ~20x faster on large matrices),
+    "numpy" (pure-Python reference), or "auto" (native when available).
+    Both implementations produce bit-identical arrays.
+    """
     m, k = coo.shape
+    if impl == "auto":
+        from sextans_tpu.runtime import native
+
+        impl = "native" if coo.nnz > 0 and native.available() else "numpy"
+    if impl == "native":
+        return _pack_native(coo, config)
+    if impl != "numpy":
+        raise ValueError(f"unknown pack impl {impl!r}")
     tm, wk, bk, G = (
         config.tile_m,
         config.window_k,
@@ -308,6 +323,43 @@ def pack(coo: COOMatrix, config: SpmmConfig = SpmmConfig()) -> PackedSpMatrix:
         m=m,
         k=k,
         nnz=nnz,
+        config=config,
+        n_mtiles=n_mtiles,
+        n_kwins=n_kwins,
+        vals=vp,
+        qrow=qrow,
+        bcol=bcol,
+        group_mtile=group_mtile,
+        group_kwin=group_kwin,
+        stats=stats,
+    )
+
+
+def _pack_native(coo: COOMatrix, config: SpmmConfig) -> PackedSpMatrix:
+    """Native C++ pack (runtime/packer.cpp) — same output as the NumPy path."""
+    from sextans_tpu.runtime.native import pack_native
+
+    m, k = coo.shape
+    n_mtiles = max(1, cdiv(m, config.tile_m))
+    n_kwins = max(1, cdiv(k, config.window_k))
+    vp, qrow, bcol, group_mtile, group_kwin, (nb, njobs, nempty) = pack_native(
+        coo.rows, coo.cols, coo.vals, m, k, config
+    )
+    G, bk = config.group_blocks, config.block_k
+    ngroups = group_kwin.shape[0]
+    stats = PackStats(
+        nnz=coo.nnz,
+        blocks=int(nb),
+        slots=int(nb) * 8 * bk,
+        groups=int(ngroups),
+        pad_blocks=int(ngroups) * G - int(nb),
+        jobs=int(njobs),
+        empty_mtiles=int(nempty),
+    )
+    return PackedSpMatrix(
+        m=m,
+        k=k,
+        nnz=coo.nnz,
         config=config,
         n_mtiles=n_mtiles,
         n_kwins=n_kwins,

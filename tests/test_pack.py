@@ -156,3 +156,53 @@ def test_interleave_spreads_stripes():
         return best
 
     assert max_run(p_int.qrow) <= max_run(p_no.qrow)
+
+
+# ---- native (C++) pack parity ----
+
+def _native_available():
+    from sextans_tpu.runtime import native
+
+    return native.available()
+
+
+@pytest.mark.skipif(not _native_available(), reason="native runtime not built")
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_native_pack_bit_identical(cfg):
+    """C++ pack (runtime/packer.cpp) must match the NumPy reference exactly."""
+    coo = COOMatrix.random(250, 333, 4000, seed=17)
+    a = pack(coo, cfg, impl="numpy")
+    b = pack(coo, cfg, impl="native")
+    np.testing.assert_array_equal(a.vals, b.vals)
+    np.testing.assert_array_equal(a.qrow, b.qrow)
+    np.testing.assert_array_equal(a.bcol, b.bcol)
+    np.testing.assert_array_equal(a.group_mtile, b.group_mtile)
+    np.testing.assert_array_equal(a.group_kwin, b.group_kwin)
+    assert a.stats == b.stats
+
+
+@pytest.mark.skipif(not _native_available(), reason="native runtime not built")
+def test_native_pack_no_interleave():
+    cfg = SpmmConfig(tile_m=64, window_k=128, block_k=8, group_blocks=16,
+                     interleave=False)
+    coo = COOMatrix.random(200, 200, 3000, seed=23)
+    a = pack(coo, cfg, impl="numpy")
+    b = pack(coo, cfg, impl="native")
+    np.testing.assert_array_equal(a.vals, b.vals)
+    np.testing.assert_array_equal(a.qrow, b.qrow)
+
+
+@pytest.mark.skipif(not _native_available(), reason="native runtime not built")
+def test_native_pack_duplicates_and_empty_tiles():
+    cfg = SpmmConfig(tile_m=16, window_k=64, block_k=8, group_blocks=16)
+    coo = COOMatrix(
+        (64, 64),
+        rows=np.array([0, 0, 7], dtype=np.int32),
+        cols=np.array([5, 5, 60], dtype=np.int32),
+        vals=np.array([1.5, 2.5, 3.0], dtype=np.float32),
+    )
+    a = pack(coo, cfg, impl="numpy")
+    b = pack(coo, cfg, impl="native")
+    np.testing.assert_array_equal(a.vals, b.vals)
+    np.testing.assert_array_equal(a.group_mtile, b.group_mtile)
+    assert b.stats.empty_mtiles == 3
