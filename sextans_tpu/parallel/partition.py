@@ -25,7 +25,7 @@ from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.format.pack import PackedSpMatrix, pack
 from sextans_tpu.utils.config import SpmmConfig, cdiv, round_up
 
-__all__ = ["ShardedSpMatrix", "pack_sharded"]
+__all__ = ["ShardedSpMatrix", "pack_sharded", "pack_sharded_k"]
 
 
 @dataclass
@@ -47,14 +47,21 @@ class ShardedSpMatrix:
     group_mtile: np.ndarray  # (S, ngroups+1)
     group_kwin: np.ndarray  # (S, ngroups)
     shards: List[PackedSpMatrix]  # per-shard metadata (pre-padding)
+    mode: str = "row"  # "row" = row-block sharded; "col" = K-sharded
 
     @property
     def m_padded(self) -> int:
-        return self.n_shards * self.m_local
+        """Global padded M."""
+        return self.n_shards * self.m_local if self.mode == "row" else self.m_local
 
     @property
     def k_padded(self) -> int:
+        """Per-shard padded K (equals global padded K in row mode)."""
         return self.n_kwins * self.config.window_k
+
+    @property
+    def k_padded_global(self) -> int:
+        return self.k_padded * (self.n_shards if self.mode == "col" else 1)
 
     @property
     def n_groups(self) -> int:
@@ -98,6 +105,60 @@ def _pad_shard_groups(p: PackedSpMatrix, ngroups: int) -> PackedSpMatrix:
         group_mtile=group_mtile,
         group_kwin=group_kwin,
         stats=p.stats,
+    )
+
+
+def pack_sharded_k(
+    coo: COOMatrix, n_shards: int, config: SpmmConfig = SpmmConfig()
+) -> ShardedSpMatrix:
+    """Split *columns* into ``n_shards`` slabs (K-sharded A, for the
+    reduce-scatter formulation). Every shard covers the full (padded) row
+    range; ``m_local`` here is the full padded M, rounded so the
+    reduce-scatter chunk (m_padded / n_shards) is whole."""
+    m, k = coo.shape
+    wk, tm = config.window_k, config.tile_m
+    k_local = round_up(cdiv(max(k, 1), n_shards), wk)
+    # full-M rows on every shard; M padded so n_shards divides it
+    m_round = round_up(max(m, 1), tm * n_shards)
+
+    shards: List[PackedSpMatrix] = []
+    for s in range(n_shards):
+        lo, hi = s * k_local, min((s + 1) * k_local, k)
+        if lo >= k:
+            local = COOMatrix(
+                (m_round, k_local),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.float32),
+            )
+        else:
+            sel = (coo.cols >= lo) & (coo.cols < hi)
+            local = COOMatrix(
+                (m_round, k_local),
+                coo.rows[sel],
+                coo.cols[sel] - lo,
+                coo.vals[sel],
+            )
+        shards.append(pack(local, config))
+
+    ngroups = max(p.n_groups for p in shards)
+    padded = [_pad_shard_groups(p, ngroups) for p in shards]
+    return ShardedSpMatrix(
+        m=m,
+        k=k,
+        nnz=coo.nnz,
+        config=config,
+        n_shards=n_shards,
+        m_local=m_round,  # full padded M on every shard
+        n_mtiles_local=m_round // tm,
+        n_kwins=k_local // wk,
+        vals=np.stack([p.vals for p in padded]),
+        qrow=np.stack([p.qrow for p in padded]),
+        bcol=np.stack([p.bcol for p in padded]),
+        group_mtile=np.stack([p.group_mtile for p in padded]),
+        group_kwin=np.stack([p.group_kwin for p in padded]),
+        shards=shards,
+        mode="col",
     )
 
 

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sextans_tpu.parallel.partition import ShardedSpMatrix
 from sextans_tpu.utils.config import round_up
 
-__all__ = ["spmm_sharded", "make_mesh"]
+__all__ = ["spmm_sharded", "spmm_sharded_k", "make_mesh"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
@@ -141,4 +141,122 @@ def spmm_sharded(
         jax.device_put(c_stacked, NamedSharding(mesh, shard_spec)),
     )
     out = fn(*args)  # (S, m_local, n_padded) sharded
+    return out.reshape(m_padded, n_padded)[:m, :n]
+
+
+def spmm_sharded_k(
+    sharded: ShardedSpMatrix,
+    b,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    c=None,
+    *,
+    mesh: Optional[Mesh] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """K-sharded C = alpha*A@B + beta*C with an ICI reduce-scatter.
+
+    A is column-slab sharded and B row-slab sharded along K; each chip
+    computes a full-M partial product, then ``psum_scatter`` sums the
+    partials over ICI while scattering C rows — the chip-parallel rebirth of
+    the reference's 8-channel A / 4-channel B HBM streaming
+    (link_config.ini:2-34). The alpha/beta epilogue is applied after the
+    reduction on the C-owning chip.
+    """
+    if sharded.mode != "col":
+        raise ValueError("spmm_sharded_k needs a pack_sharded_k matrix")
+    mesh = mesh or make_mesh(sharded.n_shards)
+    axis = mesh.axis_names[0]
+    if mesh.devices.size != sharded.n_shards:
+        raise ValueError(
+            f"matrix packed for {sharded.n_shards} shards but mesh has "
+            f"{mesh.devices.size} devices"
+        )
+
+    cfg = sharded.config
+    m, k = sharded.m, sharded.k
+    S = sharded.n_shards
+    b = jnp.asarray(b, dtype=jnp.float32)
+    if b.shape[0] != k:
+        raise ValueError(f"B must be ({k}, N), got {b.shape}")
+    n = b.shape[1]
+    tile_n = cfg.resolve_tile_n(n)
+    n_padded = round_up(n, tile_n)
+
+    m_padded = sharded.m_padded  # divisible by S by construction
+    k_local = sharded.k_padded
+    b_padded = jnp.pad(b, ((0, S * k_local - k), (0, n_padded - n)))
+    b_stacked = b_padded.reshape(S, k_local, n_padded)
+
+    if c is None:
+        if float(beta) != 0.0:
+            raise ValueError("beta != 0 requires an input C")
+        c_padded = jnp.zeros((m_padded, n_padded), dtype=jnp.float32)
+    else:
+        c = jnp.asarray(c, dtype=jnp.float32)
+        if c.shape != (m, n):
+            raise ValueError(f"C must be ({m}, {n}), got {c.shape}")
+        c_padded = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n)))
+    c_stacked = c_padded.reshape(S, m_padded // S, n_padded)
+
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+    kernel_kwargs = dict(
+        tile_m=cfg.tile_m,
+        window_k=cfg.window_k,
+        block_k=cfg.block_k,
+        group_blocks=cfg.group_blocks,
+    )
+    alpha_arr = jnp.float32(alpha)
+    beta_arr = jnp.float32(beta)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    def local_step(vals, qrow, bcol, gmt, gkw, b_loc, c_loc):
+        vals, qrow, bcol = vals[0], qrow[0], bcol[0]
+        gmt, gkw, b_loc, c_loc = gmt[0], gkw[0], b_loc[0], c_loc[0]
+        zeros_c = jnp.zeros((m_padded, b_loc.shape[1]), dtype=jnp.float32)
+        if backend == "xla":
+            from sextans_tpu.ops.spmm_xla import spmm_xla_padded
+
+            partial_ab = spmm_xla_padded(
+                vals, qrow, bcol, gmt, gkw, b_loc, zeros_c, one, zero,
+                **kernel_kwargs,
+            )
+        else:
+            from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
+
+            partial_ab = spmm_pallas_padded(
+                vals, qrow, bcol, gmt, gkw, b_loc, zeros_c, one, zero,
+                **kernel_kwargs,
+                tile_n=tile_n,
+                interpret=(backend == "pallas_interpret"),
+            )
+        # sum partials over ICI, scattering C row slabs to their owners
+        slab = jax.lax.psum_scatter(
+            partial_ab, axis, scatter_dimension=0, tiled=True
+        )
+        return (alpha_arr * slab + beta_arr * c_loc)[None]
+
+    shard_spec = P(axis)
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(shard_spec,) * 7,
+        out_specs=shard_spec,
+        check_vma=False,
+    )
+
+    ns = NamedSharding(mesh, shard_spec)
+    args = (
+        jax.device_put(jnp.asarray(sharded.vals), ns),
+        jax.device_put(jnp.asarray(sharded.qrow), ns),
+        jax.device_put(jnp.asarray(sharded.bcol), ns),
+        jax.device_put(jnp.asarray(sharded.group_mtile), ns),
+        jax.device_put(jnp.asarray(sharded.group_kwin), ns),
+        jax.device_put(b_stacked, ns),
+        jax.device_put(c_stacked, ns),
+    )
+    out = fn(*args)  # (S, m_padded/S, n_padded) row-sharded result
     return out.reshape(m_padded, n_padded)[:m, :n]

@@ -1,0 +1,115 @@
+"""Autotuner: pick pack/kernel parameters per sparsity pattern.
+
+The reference fixes its architecture at bitstream-build time
+(src/sextans.h:7-15) and eats load imbalance as scheduler bubbles
+(src/sparse_helper.h:390-400). Here the equivalent knobs are runtime
+parameters, so we pick them per matrix:
+
+* **analytic mode** (:func:`choose_config`) — exact block counts for each
+  candidate ``block_k`` are computed with one O(nnz) pass each (no packing),
+  and a simple VPU cost model picks the config minimizing modeled kernel
+  time. Zero device time needed.
+* **measured mode** (:func:`autotune`) — packs the top analytic candidates
+  and times the real kernel on device, returning the fastest plan.
+
+Cost model (per block, VPU micro-kernel in ops/spmm_pallas.py):
+``cost ~ C_FIXED + C_FMA * block_k`` vector-op slots per (block, tile_n
+panel), plus a per-group overhead. Minimizing
+``n_blocks(bk) * (C_FIXED + C_FMA*bk)`` trades padding waste (large bk,
+low fill) against per-block overhead (small bk, many blocks).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.utils.config import SpmmConfig, cdiv
+
+__all__ = ["choose_config", "autotune", "block_counts", "TuneResult"]
+
+# Relative vector-op costs in the Pallas micro-kernel (per block, per 256-wide
+# N panel): accumulator read+write + B-row loads + index/address overhead.
+C_FIXED = 10.0
+# Per block column: one (8, tile_n) broadcast FMA + its share of the B load.
+C_FMA = 3.0
+# Per group: grid-step + epilogue amortization.
+C_GROUP = 600.0
+
+
+def block_counts(
+    coo: COOMatrix, block_ks: Sequence[int] = (1, 2, 4, 8, 16)
+) -> dict:
+    """Exact number of 8 x bk blocks A occupies, for each candidate bk."""
+    br = coo.rows.astype(np.int64) >> 3
+    out = {}
+    for bk in block_ks:
+        bc = coo.cols.astype(np.int64) // bk
+        keys = br * ((coo.shape[1] // bk) + 1) + bc
+        out[bk] = int(np.unique(keys).size)
+    return out
+
+
+@dataclass
+class TuneResult:
+    config: SpmmConfig
+    predicted_cost: float
+    measured_ms: Optional[float] = None
+
+
+def choose_config(
+    coo: COOMatrix,
+    base: SpmmConfig = SpmmConfig(),
+    block_ks: Sequence[int] = (1, 2, 4, 8, 16),
+    top: int = 1,
+) -> List[TuneResult]:
+    """Analytic config choice; returns the ``top`` candidates, best first."""
+    counts = block_counts(coo, block_ks)
+    results = []
+    for bk, nb in counts.items():
+        # group_blocks scaled so a group is ~128 lanes * a few chunks
+        gb = max(128 // bk, 1) * 16
+        cfg = base.with_(block_k=bk, group_blocks=gb)
+        ngroups = max(1, cdiv(nb, gb))
+        cost = nb * (C_FIXED + C_FMA * bk) + ngroups * C_GROUP
+        results.append(TuneResult(cfg, cost))
+    results.sort(key=lambda r: r.predicted_cost)
+    return results[:top]
+
+
+def autotune(
+    coo: COOMatrix,
+    n: int,
+    base: SpmmConfig = SpmmConfig(),
+    block_ks: Sequence[int] = (2, 4, 8, 16),
+    candidates: int = 3,
+    backend: str = "auto",
+    rp_time: int = 5,
+) -> TuneResult:
+    """Measured autotune: time the top analytic candidates on device."""
+    import jax.numpy as jnp
+
+    from sextans_tpu.format.pack import pack
+    from sextans_tpu.ops.plan import SpmmPlan
+    from sextans_tpu.utils.timing import time_chained
+
+    cands = choose_config(coo, base, block_ks, top=candidates)
+    m, k = coo.shape
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    c0 = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+
+    best: Optional[TuneResult] = None
+    for cand in cands:
+        packed = pack(coo, cand.config)
+        plan = SpmmPlan(packed, n, backend=backend)
+        secs = time_chained(
+            lambda c: plan(b, 1.0, 0.5, c), c0, rp_time=rp_time, warmup=1
+        )
+        cand.measured_ms = secs * 1e3
+        if best is None or cand.measured_ms < best.measured_ms:
+            best = cand
+    return best

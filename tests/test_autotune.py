@@ -1,0 +1,56 @@
+"""Autotuner tests (analytic mode on CPU; measured mode is exercised on TPU
+in benchmarks)."""
+
+import numpy as np
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.utils.autotune import autotune, block_counts, choose_config
+from sextans_tpu.utils.config import SpmmConfig
+
+
+def test_block_counts_exact():
+    # 3 nonzeros: (0,0), (0,7), (0,8) → bk=8: blocks {cols 0-7, 8-15} = 2;
+    # bk=4: {0-3},{4-7},{8-11} = 3; bk=1: 3
+    coo = COOMatrix(
+        (8, 16),
+        rows=np.array([0, 0, 0], np.int32),
+        cols=np.array([0, 7, 8], np.int32),
+        vals=np.ones(3, np.float32),
+    )
+    counts = block_counts(coo, (1, 4, 8, 16))
+    assert counts[1] == 3
+    assert counts[4] == 3
+    assert counts[8] == 2
+    assert counts[16] == 1
+
+
+def test_choose_config_prefers_small_bk_for_scattered():
+    """Fully scattered matrix: big blocks are nearly empty → small bk wins."""
+    coo = COOMatrix.random(4096, 4096, 8000, seed=1)  # ~0.05% density
+    best = choose_config(coo, SpmmConfig())[0]
+    assert best.config.block_k <= 4
+
+
+def test_choose_config_prefers_big_bk_for_dense_band():
+    """Dense band: blocks are full → larger bk amortizes per-block cost."""
+    rows = np.repeat(np.arange(256, dtype=np.int32), 64)
+    cols = (rows // 8 * 8 + np.tile(np.arange(64, dtype=np.int32) % 64, 256)) % 256
+    coo = COOMatrix((256, 256), rows, cols % 256, np.ones(rows.size, np.float32))
+    best = choose_config(coo, SpmmConfig())[0]
+    assert best.config.block_k >= 8
+
+
+def test_choose_config_valid_configs():
+    coo = COOMatrix.random(500, 500, 5000, seed=3)
+    for r in choose_config(coo, SpmmConfig(), top=5):
+        # constructor validates; block_k/group_blocks consistency implied
+        assert r.config.group_blocks % max(1, 128 // r.config.block_k) == 0
+        assert r.predicted_cost > 0
+
+
+def test_autotune_measured_cpu():
+    coo = COOMatrix.random(300, 300, 3000, seed=5)
+    cfg = SpmmConfig(tile_m=64, window_k=256, tile_n=128)
+    best = autotune(coo, 16, base=cfg, block_ks=(4, 8), candidates=2,
+                    backend="xla", rp_time=2)
+    assert best.measured_ms is not None and best.measured_ms > 0

@@ -80,3 +80,36 @@ def test_mesh_size_mismatch_raises():
     sharded = pack_sharded(coo, 4, CFG)
     with pytest.raises(ValueError, match="mesh"):
         spmm_sharded(sharded, b, mesh=make_mesh(2), backend="xla")
+
+
+# ---- K-sharded (reduce-scatter) formulation ----
+
+from sextans_tpu.parallel.partition import pack_sharded_k
+from sextans_tpu.parallel.sharding import spmm_sharded_k
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_k_sharded_matches_golden(n_shards):
+    coo, b, c = _problem(300, 520, 32, 4000, seed=40 + n_shards)
+    sharded = pack_sharded_k(coo, n_shards, CFG)
+    assert sharded.mode == "col"
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(spmm_sharded_k(sharded, b, 0.85, -2.06, c, backend="xla"))
+    assert got.shape == (300, 32)
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_k_sharded_uneven_k():
+    """K not divisible by shards — empty column slabs must contribute zero."""
+    coo, b, c = _problem(100, 130, 16, 800, seed=77)
+    sharded = pack_sharded_k(coo, 8, CFG)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 1.0, 1.0, c)
+    got = np.asarray(spmm_sharded_k(sharded, b, 1.0, 1.0, c, backend="xla"))
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_k_sharded_rejects_row_pack():
+    coo, b, _ = _problem(64, 64, 8, 300, seed=9)
+    sharded = pack_sharded(coo, 2, CFG)
+    with pytest.raises(ValueError, match="pack_sharded_k"):
+        spmm_sharded_k(sharded, b, backend="xla")
