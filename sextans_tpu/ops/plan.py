@@ -67,7 +67,10 @@ class SpmmPlan:
             from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded as run
 
             extra = dict(
-                tile_n=self.tile_n, interpret=(backend == "pallas_interpret")
+                tile_n=self.tile_n,
+                interpret=(backend == "pallas_interpret"),
+                n_acc=cfg.n_acc,
+                chunk_unroll=cfg.chunk_unroll,
             )
         else:
             raise ValueError(f"unknown backend {backend!r}")

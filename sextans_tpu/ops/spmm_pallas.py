@@ -49,10 +49,12 @@ def _kernel(
     b_ref,  # (1, window_k, tile_n) f32 VMEM
     cin_ref,  # (tile_m, tile_n) f32 VMEM
     out_ref,  # (tile_m, tile_n) f32 VMEM
-    acc_ref,  # (tile_m, tile_n) f32 VMEM scratch, persists across grid steps
+    acc_ref,  # (n_acc, tile_m, tile_n) f32 VMEM scratch, persists across steps
     *,
     group_blocks: int,
     block_k: int,
+    n_acc: int,
+    chunk_unroll: int,
 ):
     g = pl.program_id(1)
     mt = mt_ref[g]
@@ -66,40 +68,48 @@ def _kernel(
 
     bk = block_k
     per_chunk = max(1, 128 // bk)  # blocks covered by one (8, 128) vals register
-    lanes_per_blk = bk
     num_chunks = group_blocks // per_chunk
 
+    def do_block(i, bv, a):
+        """One 8 x bk block: gather B rows, broadcast-FMA into accumulator a."""
+        q = qrow_ref[0, 0, i]
+        col = bcol_ref[0, 0, i]
+        if bk >= 8:
+            # bcol is block_k-aligned by construction → sublane-aligned load
+            col = pl.multiple_of(col, bk)
+            brows = b_ref[0, pl.ds(col, bk), :]  # (bk, tile_n)
+            contrib = bv[:, 0:1] * brows[0:1, :]
+            for j in range(1, bk):
+                contrib = contrib + bv[:, j : j + 1] * brows[j : j + 1, :]
+        else:
+            col = pl.multiple_of(col, bk)
+            contrib = bv[:, 0:1] * b_ref[0, pl.ds(col, 1), :]
+            for j in range(1, bk):
+                contrib = contrib + bv[:, j : j + 1] * b_ref[0, pl.ds(col + j, 1), :]
+        off = pl.multiple_of(q * 8, 8)
+        # Alternating accumulator buffers break the store→load dependency
+        # chain Mosaic must otherwise assume between dynamic slices of one
+        # buffer (the TPU-native echo of DEP_DIST_LOAD_STORE, src/sextans.h:12
+        # — but as a throughput hint, never a correctness requirement).
+        acc_ref[a, pl.ds(off, 8), :] += contrib
+
     def chunk_body(t, _):
-        base = pl.multiple_of(t * (per_chunk * lanes_per_blk), 128)
-        vblk = vals_ref[0, :, pl.ds(base, per_chunk * lanes_per_blk)]
+        base = pl.multiple_of(t * 128, 128)
+        vblk = vals_ref[0, :, pl.ds(base, per_chunk * bk)]
         for u in range(per_chunk):
-            i = t * per_chunk + u
-            q = qrow_ref[0, 0, i]
-            col = bcol_ref[0, 0, i]
-            bv = vblk[:, u * bk : (u + 1) * bk]  # (8, bk), static lane slice
-            if bk >= 8:
-                # bcol is block_k-aligned by construction → sublane-aligned load
-                col = pl.multiple_of(col, bk)
-                brows = b_ref[0, pl.ds(col, bk), :]  # (bk, tile_n)
-                contrib = bv[:, 0:1] * brows[0:1, :]
-                for j in range(1, bk):
-                    contrib = contrib + bv[:, j : j + 1] * brows[j : j + 1, :]
-            else:
-                col = pl.multiple_of(col, bk)
-                contrib = bv[:, 0:1] * b_ref[0, pl.ds(col, 1), :]
-                for j in range(1, bk):
-                    contrib = contrib + bv[:, j : j + 1] * b_ref[0, pl.ds(col + j, 1), :]
-            off = pl.multiple_of(q * 8, 8)
-            acc_ref[pl.ds(off, 8), :] += contrib
+            do_block(t * per_chunk + u, vblk[:, u * bk : (u + 1) * bk], u % n_acc)
         return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=chunk_unroll)
 
     @pl.when(is_last)
     def _epilogue():
         alpha = ab_ref[0]
         beta = ab_ref[1]
-        out_ref[...] = alpha * acc_ref[...] + beta * cin_ref[...]
+        total = acc_ref[0]
+        for a in range(1, n_acc):
+            total = total + acc_ref[a]
+        out_ref[...] = alpha * total + beta * cin_ref[...]
 
 
 @functools.partial(
@@ -111,6 +121,8 @@ def _kernel(
         "group_blocks",
         "tile_n",
         "interpret",
+        "n_acc",
+        "chunk_unroll",
     ),
 )
 def spmm_pallas_padded(
@@ -130,6 +142,8 @@ def spmm_pallas_padded(
     group_blocks: int,
     tile_n: int,
     interpret: bool = False,
+    n_acc: int = 2,
+    chunk_unroll: int = 1,
 ) -> jax.Array:
     ngroups = vals.shape[0]
     m_padded, n_padded = c_padded.shape
@@ -170,10 +184,16 @@ def spmm_pallas_padded(
             pl.BlockSpec((tile_m, tile_n), c_idx),
         ],
         out_specs=pl.BlockSpec((tile_m, tile_n), c_idx),
-        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_acc, tile_m, tile_n), jnp.float32)],
     )
 
-    kernel = functools.partial(_kernel, group_blocks=G, block_k=bk)
+    kernel = functools.partial(
+        _kernel,
+        group_blocks=G,
+        block_k=bk,
+        n_acc=n_acc,
+        chunk_unroll=chunk_unroll,
+    )
 
     flops_per_group = G * 8 * bk * 2 * tile_n
     cost = pl.CostEstimate(

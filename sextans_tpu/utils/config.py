@@ -52,9 +52,13 @@ class SpmmConfig:
     group_blocks: int = 256
     tile_n: Optional[int] = None  # None → chosen from N at spmm time
     interleave: bool = True
-    # Kernel variant: "vpu" (broadcast-FMA micro-kernel) is the default;
-    # "mxu" uses one-hot scatter matmuls (kept for autotune comparison).
-    kernel: str = "vpu"
+    # Kernel micro-architecture knobs (ops/spmm_pallas.py):
+    # n_acc — parallel accumulator buffers; alternating buffers break the
+    #   store→load chain between dynamic accumulator slices (the TPU echo of
+    #   DEP_DIST_LOAD_STORE, src/sextans.h:12, as a pure throughput hint).
+    # chunk_unroll — fori_loop unroll factor for the 16-block chunk loop.
+    n_acc: int = 2
+    chunk_unroll: int = 1
 
     def __post_init__(self):
         if self.tile_m % 8 != 0 or self.tile_m <= 0:
@@ -72,6 +76,8 @@ class SpmmConfig:
             )
         if self.tile_n is not None and self.tile_n % 128 != 0:
             raise ValueError("tile_n must be a multiple of 128 (TPU lane count)")
+        if self.n_acc < 1 or self.chunk_unroll < 1:
+            raise ValueError("n_acc and chunk_unroll must be >= 1")
 
     @property
     def stripes_per_tile(self) -> int:

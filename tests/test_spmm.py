@@ -146,3 +146,19 @@ def test_nasa4704_end_to_end(nasa4704_path):
     res = verify(want, got)
     assert res.passed, str(res)
     assert res.max_abs_err < 1e-4
+
+
+@pytest.mark.parametrize("n_acc,chunk_unroll", [(1, 1), (2, 1), (2, 2), (4, 2)])
+def test_kernel_microarch_knobs(n_acc, chunk_unroll):
+    """n_acc accumulator splitting and chunk unrolling must not change results."""
+    cfg = SpmmConfig(
+        tile_m=64, window_k=128, block_k=8, group_blocks=32, tile_n=128,
+        n_acc=n_acc, chunk_unroll=chunk_unroll,
+    )
+    coo, b, c = _problem(100, 150, 16, 1200, seed=51)
+    csr = CSRMatrix.from_coo(coo)
+    want = golden_spmm_exact(csr, b, ALPHA, BETA, c)
+    got = np.asarray(
+        spmm(coo, b, ALPHA, BETA, c, backend="pallas_interpret", config=cfg)
+    )
+    assert np.max(np.abs(got - want)) < 1e-4
