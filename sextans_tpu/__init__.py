@@ -21,6 +21,7 @@ from sextans_tpu.format.csr import CSCMatrix, CSRMatrix
 from sextans_tpu.format.pack import PackedSpMatrix, PackStats, pack
 from sextans_tpu.io.mtx import MtxHeader, read_mtx, read_mtx_coo, write_mtx
 from sextans_tpu.ops.golden import golden_spmm, golden_spmm_exact, spmm_flops
+from sextans_tpu.ops.autodiff import spmm_op
 from sextans_tpu.ops.plan import SpmmPlan
 from sextans_tpu.ops.spmm import plan, prepare, spmm
 from sextans_tpu.utils.config import SpmmConfig
@@ -45,6 +46,7 @@ __all__ = [
     "plan",
     "SpmmPlan",
     "spmm",
+    "spmm_op",
     "golden_spmm",
     "golden_spmm_exact",
     "spmm_flops",
