@@ -1,0 +1,141 @@
+"""Tests for utils (verify gate, timing harness, config, profiling) and the
+SpmmPlan executor."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.format.pack import pack
+from sextans_tpu.ops.plan import SpmmPlan
+from sextans_tpu.utils.config import SpmmConfig, cdiv, round_up
+from sextans_tpu.utils.timing import time_chained
+from sextans_tpu.utils.verify import gflops, verify
+
+CFG = SpmmConfig(tile_m=32, window_k=64, block_k=8, group_blocks=16, tile_n=128)
+
+
+# ---- verify gate (reference semantics, src/sextans-host.cpp:262-289) ----
+
+def test_verify_exact_pass():
+    x = np.random.default_rng(0).standard_normal((10, 10))
+    res = verify(x, x)
+    assert res.passed and res.mismatch_count == 0 and res.max_abs_err == 0
+
+
+def test_verify_small_relative_error_passes():
+    x = np.ones((100, 100))
+    res = verify(x, x * (1 + 5e-5))  # rel err 5e-5 < 1e-4
+    assert res.passed and res.mismatch_count == 0
+
+
+def test_verify_two_percent_gate():
+    """PASS iff < 2% of elements mismatch (src/sextans-host.cpp:281-282)."""
+    x = np.ones((100, 100))
+    y = x.copy()
+    y.flat[:199] = 2.0  # 1.99% mismatches
+    assert verify(x, y).passed
+    y.flat[:201] = 2.0  # 2.01%
+    assert not verify(x, y).passed
+
+
+def test_verify_denominator_floor():
+    """Tiny values: |diff| / (min+1e-4) — near-zero disagreements tolerated."""
+    x = np.zeros((4, 4))
+    y = np.full((4, 4), 9e-9)
+    assert verify(x, y).passed
+
+
+def test_gflops_formula():
+    # 2*N*(nnz+M)/t (src/sextans-host.cpp:255-259)
+    assert gflops(1000, 100, 16, 1.0) == pytest.approx(2 * 16 * 1100 / 1e9)
+    assert gflops(1, 1, 1, 0.0) == float("inf")
+
+
+# ---- config helpers ----
+
+def test_cdiv_round_up():
+    assert cdiv(10, 4) == 3 and cdiv(8, 4) == 2
+    assert round_up(10, 4) == 12 and round_up(8, 4) == 8
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        SpmmConfig(block_k=3)
+    with pytest.raises(ValueError):
+        SpmmConfig(window_k=100, block_k=8)
+    with pytest.raises(ValueError):
+        SpmmConfig(group_blocks=7, block_k=8)  # needs multiple of 16
+    with pytest.raises(ValueError):
+        SpmmConfig(tile_n=100)
+    with pytest.raises(ValueError):
+        SpmmConfig(n_acc=0)
+
+
+def test_resolve_tile_n():
+    cfg = SpmmConfig()
+    assert cfg.resolve_tile_n(16) == 128
+    assert cfg.resolve_tile_n(512) == 512
+    assert cfg.resolve_tile_n(2000) == 512
+    assert SpmmConfig(tile_n=256).resolve_tile_n(2000) == 256
+
+
+# ---- timing harness ----
+
+def test_time_chained_is_dependency_chain():
+    calls = []
+
+    def step(c):
+        calls.append(time.perf_counter())
+        return c + 1.0
+
+    c0 = jnp.zeros((4, 4))
+    secs = time_chained(step, c0, rp_time=5, warmup=1)
+    assert secs >= 0
+    assert len(calls) == 6  # 1 warmup + 5 timed
+
+
+# ---- SpmmPlan executor ----
+
+def test_plan_reuse_and_validation():
+    coo = COOMatrix.random(50, 60, 300, seed=1)
+    plan = SpmmPlan(pack(coo, CFG), 16, backend="xla")
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal((60, 16)).astype(np.float32)
+    out1 = np.asarray(plan(b))
+    out2 = np.asarray(plan(b * 2))
+    np.testing.assert_allclose(out2, 2 * out1, rtol=1e-5)
+    with pytest.raises(ValueError, match="B must be"):
+        plan(np.ones((61, 16), np.float32))
+    with pytest.raises(ValueError, match="beta"):
+        plan(b, 1.0, 0.5)
+    with pytest.raises(ValueError, match="C must be"):
+        plan(b, 1.0, 0.5, np.ones((50, 17), np.float32))
+    with pytest.raises(ValueError, match="backend"):
+        SpmmPlan(pack(coo, CFG), 16, backend="cuda")
+
+
+def test_plan_cache_on_packed():
+    from sextans_tpu.ops.spmm import plan as plan_fn
+
+    coo = COOMatrix.random(40, 40, 200, seed=5)
+    packed = pack(coo, CFG)
+    p1 = plan_fn(packed, 16, backend="xla")
+    p2 = plan_fn(packed, 16, backend="xla")
+    assert p1 is p2
+    p3 = plan_fn(packed, 32, backend="xla")
+    assert p3 is not p1
+
+
+# ---- profiling hooks (smoke) ----
+
+def test_profiling_trace_smoke(tmp_path):
+    from sextans_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path / "tr")):
+        with annotate("spmm_test"):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    # trace directory should have been created and populated
+    assert any((tmp_path / "tr").rglob("*"))
