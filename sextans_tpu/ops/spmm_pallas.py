@@ -142,7 +142,7 @@ def spmm_pallas_padded(
     group_blocks: int,
     tile_n: int,
     interpret: bool = False,
-    n_acc: int = 2,
+    n_acc: int = 1,
     chunk_unroll: int = 1,
 ) -> jax.Array:
     ngroups = vals.shape[0]

@@ -57,7 +57,7 @@ class SpmmConfig:
     #   store→load chain between dynamic accumulator slices (the TPU echo of
     #   DEP_DIST_LOAD_STORE, src/sextans.h:12, as a pure throughput hint).
     # chunk_unroll — fori_loop unroll factor for the 16-block chunk loop.
-    n_acc: int = 2
+    n_acc: int = 1
     chunk_unroll: int = 1
 
     def __post_init__(self):
