@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--group-blocks", type=int, default=None)
     p.add_argument("--skip-cpu", action="store_true", help="skip the golden CPU run")
     p.add_argument("--save-packed", default=None, help="save packed A to .npz")
+    p.add_argument(
+        "--autotune",
+        action="store_true",
+        help="pick block_k/group size analytically from the sparsity pattern",
+    )
     return p
 
 
@@ -83,6 +88,13 @@ def main(argv=None) -> int:
         if v is not None:
             cfg_kwargs[name] = v
     cfg = SpmmConfig(**cfg_kwargs)
+    if args.autotune:
+        from sextans_tpu.utils.autotune import choose_config
+
+        cfg = choose_config(coo, cfg)[0].config
+        print(
+            f"autotune: block_k={cfg.block_k} group_blocks={cfg.group_blocks}"
+        )
 
     print("Packing sparse A for TPU ...", flush=True)
     t0 = time.perf_counter()
