@@ -1,0 +1,52 @@
+"""Benchmark suite generator + runner tests."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from benchmarks.matrices import fem_like, kkt_like, powerlaw_like, suite
+from benchmarks.suite import run_one
+
+
+def test_fem_like_structure():
+    coo = fem_like(3000, dofs=3, neighbors=9, seed=1)
+    assert coo.shape == (3000, 3000)
+    assert coo.nnz > 3000
+    # FEM stand-in should have decent 8x8 block fill
+    from sextans_tpu.utils.autotune import block_counts
+
+    nb = block_counts(coo, (8,))[8]
+    fill = coo.nnz / (nb * 64)
+    assert fill > 0.05
+
+
+def test_kkt_like_banded_three_scales():
+    coo = kkt_like(8000, seed=2)
+    assert coo.shape == (8000, 8000)
+    spread = np.abs(coo.rows.astype(np.int64) - coo.cols.astype(np.int64))
+    assert np.median(spread) < 8000 // 2  # banded-ish, not uniform
+
+
+def test_powerlaw_has_hubs():
+    coo = powerlaw_like(5000, avg_degree=8, seed=3)
+    indeg = np.bincount(coo.cols, minlength=5000)
+    assert indeg.max() > 20 * max(1, int(np.median(indeg[indeg > 0])))
+
+
+def test_suite_registry():
+    s = suite("small")
+    assert "cant_like" in s and "webgraph_like" in s
+    full = suite("full")
+    assert "ldoor_like" in full and "nlpkkt80_like" in full
+
+
+def test_run_one_tiny():
+    coo = fem_like(600, dofs=3, neighbors=5, bandwidth=60, seed=9)
+    rec = run_one("tiny", coo, 16, backend="xla", use_autotune=True, rp_time=2)
+    assert rec["verify"] == "pass"
+    assert rec["gflops"] > 0
+    assert rec["block_fill"] > 0
