@@ -24,13 +24,132 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sextans_tpu.parallel.partition import ShardedSpMatrix
 from sextans_tpu.utils.config import round_up
 
-__all__ = ["spmm_sharded", "spmm_sharded_k", "make_mesh"]
+__all__ = ["spmm_sharded", "spmm_sharded_k", "ShardedSpmmPlan", "make_mesh"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
+
+
+class ShardedSpmmPlan:
+    """Device-resident row-block-sharded executor (multi-chip SpmmPlan).
+
+    Uploads the stacked shard arrays to the mesh once; each call moves only
+    B (replicated) and C (row-sharded) — the multi-chip twin of
+    ops/plan.SpmmPlan.
+    """
+
+    def __init__(
+        self,
+        sharded: ShardedSpMatrix,
+        n: int,
+        *,
+        mesh: Optional[Mesh] = None,
+        backend: str = "auto",
+    ):
+        if sharded.mode != "row":
+            raise ValueError("ShardedSpmmPlan needs a pack_sharded (row) matrix")
+        mesh = mesh or make_mesh(sharded.n_shards)
+        if mesh.devices.size != sharded.n_shards:
+            raise ValueError(
+                f"matrix packed for {sharded.n_shards} shards but mesh has "
+                f"{mesh.devices.size} devices"
+            )
+        if backend == "auto":
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        self.backend = backend
+        self.mesh = mesh
+        self.sharded = sharded
+        self.m, self.k = sharded.m, sharded.k
+        self.n = n
+        cfg = sharded.config
+        self.tile_n = cfg.resolve_tile_n(n)
+        self.n_padded = round_up(n, self.tile_n)
+
+        axis = mesh.axis_names[0]
+        shard_spec = P(axis)
+        repl = P()
+        m, k = self.m, self.k
+        m_padded = sharded.m_padded
+        k_padded = sharded.k_padded
+        n_, n_padded = n, self.n_padded
+        S, m_local = sharded.n_shards, sharded.m_local
+        tile_n = self.tile_n
+
+        kernel_kwargs = dict(
+            tile_m=cfg.tile_m,
+            window_k=cfg.window_k,
+            block_k=cfg.block_k,
+            group_blocks=cfg.group_blocks,
+        )
+
+        def local_step(vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta):
+            # shard_map hands each device its (1, ...) slice — drop the axis.
+            vals, qrow, bcol = vals[0], qrow[0], bcol[0]
+            gmt, gkw, c_loc = gmt[0], gkw[0], c_loc[0]
+            if backend == "xla":
+                from sextans_tpu.ops.spmm_xla import spmm_xla_padded
+
+                out = spmm_xla_padded(
+                    vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
+                    **kernel_kwargs,
+                )
+            else:
+                from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
+
+                out = spmm_pallas_padded(
+                    vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
+                    **kernel_kwargs,
+                    tile_n=tile_n,
+                    interpret=(backend == "pallas_interpret"),
+                )
+            return out[None]
+
+        inner = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(shard_spec,) * 5 + (repl, shard_spec, repl, repl),
+            out_specs=shard_spec,
+            # the kernels allocate unvarying accumulators internally; skip
+            # the varying-manual-axes type check rather than threading pvary
+            # through backends that also run un-sharded
+            check_vma=False,
+        )
+
+        def step(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
+            b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
+            c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
+            c_stacked = c_p.reshape(S, m_local, n_padded)
+            out = inner(vals, qrow, bcol, gmt, gkw, b_p, c_stacked, alpha, beta)
+            return out.reshape(m_padded, n_padded)[:m, :n_]
+
+        self._jit = jax.jit(step)
+        ns = NamedSharding(mesh, shard_spec)
+        self._dev = (
+            jax.device_put(jnp.asarray(sharded.vals), ns),
+            jax.device_put(jnp.asarray(sharded.qrow), ns),
+            jax.device_put(jnp.asarray(sharded.bcol), ns),
+            jax.device_put(jnp.asarray(sharded.group_mtile), ns),
+            jax.device_put(jnp.asarray(sharded.group_kwin), ns),
+        )
+
+    def __call__(self, b, alpha=1.0, beta=0.0, c=None) -> jax.Array:
+        b = jnp.asarray(b, dtype=jnp.float32)
+        if b.shape != (self.k, self.n):
+            raise ValueError(f"B must be ({self.k}, {self.n}), got {b.shape}")
+        if c is None:
+            if float(beta) != 0.0:
+                raise ValueError("beta != 0 requires an input C")
+            c = jnp.zeros((self.m, self.n), dtype=jnp.float32)
+        else:
+            c = jnp.asarray(c, dtype=jnp.float32)
+            if c.shape != (self.m, self.n):
+                raise ValueError(f"C must be ({self.m}, {self.n}), got {c.shape}")
+        return self._jit(
+            *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
+        )
 
 
 def spmm_sharded(
@@ -47,101 +166,21 @@ def spmm_sharded(
 
     ``b`` is (K, N) replicated; ``c`` is (M, N) row-sharded like the result.
     Returns the global (M, N) array (sharded; materialize with np.asarray).
+    One-shot convenience over :class:`ShardedSpmmPlan` (which is cached on
+    the sharded matrix for reuse).
     """
-    mesh = mesh or make_mesh(sharded.n_shards)
-    axis = mesh.axis_names[0]
-    if mesh.devices.size != sharded.n_shards:
-        raise ValueError(
-            f"matrix packed for {sharded.n_shards} shards but mesh has "
-            f"{mesh.devices.size} devices"
-        )
-
-    cfg = sharded.config
-    m, k = sharded.m, sharded.k
     b = jnp.asarray(b, dtype=jnp.float32)
-    if b.shape[0] != k:
-        raise ValueError(f"B must be ({k}, N), got {b.shape}")
+    if b.ndim != 2 or b.shape[0] != sharded.k:
+        raise ValueError(f"B must be ({sharded.k}, N), got {b.shape}")
     n = b.shape[1]
-    tile_n = cfg.resolve_tile_n(n)
-    n_padded = round_up(n, tile_n)
-
-    b_padded = jnp.pad(b, ((0, sharded.k_padded - k), (0, n_padded - n)))
-    m_padded = sharded.m_padded
-    if c is None:
-        if float(beta) != 0.0:
-            raise ValueError("beta != 0 requires an input C")
-        c_padded = jnp.zeros((m_padded, n_padded), dtype=jnp.float32)
-    else:
-        c = jnp.asarray(c, dtype=jnp.float32)
-        if c.shape != (m, n):
-            raise ValueError(f"C must be ({m}, {n}), got {c.shape}")
-        c_padded = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n)))
-    c_stacked = c_padded.reshape(sharded.n_shards, sharded.m_local, n_padded)
-
-    if backend == "auto":
-        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-
-    kernel_kwargs = dict(
-        tile_m=cfg.tile_m,
-        window_k=cfg.window_k,
-        block_k=cfg.block_k,
-        group_blocks=cfg.group_blocks,
-    )
-    alpha_arr = jnp.float32(alpha)
-    beta_arr = jnp.float32(beta)
-
-    def local_step(vals, qrow, bcol, gmt, gkw, b_pad, c_loc):
-        # shard_map hands each device its (1, ...) slice — drop the axis.
-        vals, qrow, bcol = vals[0], qrow[0], bcol[0]
-        gmt, gkw, c_loc = gmt[0], gkw[0], c_loc[0]
-        if backend == "xla":
-            from sextans_tpu.ops.spmm_xla import spmm_xla_padded
-
-            out = spmm_xla_padded(
-                vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha_arr, beta_arr,
-                **kernel_kwargs,
-            )
-        else:
-            from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
-
-            out = spmm_pallas_padded(
-                vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha_arr, beta_arr,
-                **kernel_kwargs,
-                tile_n=tile_n,
-                interpret=(backend == "pallas_interpret"),
-            )
-        return out[None]
-
-    shard_spec = P(axis)
-    repl = P()
-    fn = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(shard_spec,) * 5 + (repl, shard_spec),
-        out_specs=shard_spec,
-        # the kernels allocate unvarying accumulators internally; skip the
-        # varying-manual-axes type check rather than threading pvary through
-        # backends that also run un-sharded
-        check_vma=False,
-    )
-
-    args = (
-        jax.device_put(
-            jnp.asarray(sharded.vals), NamedSharding(mesh, shard_spec)
-        ),
-        jax.device_put(jnp.asarray(sharded.qrow), NamedSharding(mesh, shard_spec)),
-        jax.device_put(jnp.asarray(sharded.bcol), NamedSharding(mesh, shard_spec)),
-        jax.device_put(
-            jnp.asarray(sharded.group_mtile), NamedSharding(mesh, shard_spec)
-        ),
-        jax.device_put(
-            jnp.asarray(sharded.group_kwin), NamedSharding(mesh, shard_spec)
-        ),
-        jax.device_put(b_padded, NamedSharding(mesh, repl)),
-        jax.device_put(c_stacked, NamedSharding(mesh, shard_spec)),
-    )
-    out = fn(*args)  # (S, m_local, n_padded) sharded
-    return out.reshape(m_padded, n_padded)[:m, :n]
+    cache = getattr(sharded, "_plan_cache", None)
+    if cache is None:
+        cache = {}
+        sharded._plan_cache = cache
+    key = (n, backend, None if mesh is None else id(mesh))
+    if key not in cache:
+        cache[key] = ShardedSpmmPlan(sharded, n, mesh=mesh, backend=backend)
+    return cache[key](b, alpha, beta, c)
 
 
 def spmm_sharded_k(

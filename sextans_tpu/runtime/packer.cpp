@@ -159,7 +159,7 @@ void* sx_pack_plan(int64_t nnz, const int32_t* rows, const int32_t* cols,
   // --- schedule: round-robin across stripes inside each job ---
   p->sched.resize(nb);
   if (p->interleave) {
-    std::vector<int64_t> run_start, run_q;  // per-stripe runs inside a job
+    std::vector<int64_t> run_start;  // per-stripe runs inside a job
     for (int64_t j = 0; j < p->njobs; ++j) {
       const int64_t lo = job_start[j], hi = job_start[j + 1];
       run_start.clear();
