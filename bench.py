@@ -51,7 +51,7 @@ def main():
     from sextans_tpu.ops.spmm import spmm
     from sextans_tpu.format.pack import pack
     from sextans_tpu.utils.config import SpmmConfig
-    from sextans_tpu.utils.timing import time_chained
+    from sextans_tpu.utils.timing import time_repeat
     from sextans_tpu.utils.verify import gflops, verify
 
     platform = jax.devices()[0].platform
@@ -78,13 +78,16 @@ def main():
         (SpmmConfig(), preferred),  # proven default
         (SpmmConfig(), "xla"),
     ]
-    step = None
+    best_plan = None
     best_secs = None
+    got = None
     c0 = jnp.asarray(c)
     for cfg, backend in candidates:
-        if backend == "xla" and step is not None:
+        if backend == "xla" and best_plan is not None:
             break  # xla is the last resort, only used if no pallas variant ran
         try:
+            from sextans_tpu.ops.plan import SpmmPlan
+
             t0 = time.perf_counter()
             packed = pack(coo, cfg)
             log(
@@ -92,17 +95,15 @@ def main():
                 f"{time.perf_counter()-t0:.3f}s, blocks={packed.stats.blocks} "
                 f"fill={packed.stats.block_fill:.3f} groups={packed.n_groups}"
             )
-            def cand(c_dev, packed=packed, backend=backend):
-                return spmm(packed, b_dev, alpha, beta, c_dev, backend=backend)
-
-            got_cand = np.asarray(cand(c0))
-            secs = time_chained(cand, c0, rp_time=8, warmup=2)
+            plan = SpmmPlan(packed, n, backend=backend)
+            got_cand = np.asarray(plan(b_dev, alpha, beta, c0))
+            secs = time_repeat(plan, b_dev, alpha, beta, c0, times=8)
             log(f"  candidate ({backend}, n_acc={cfg.n_acc}): {secs*1e3:.3f} ms")
             if best_secs is None or secs < best_secs:
-                step, best_secs, got = cand, secs, got_cand
+                best_plan, best_secs, got = plan, secs, got_cand
         except Exception as e:  # compile/runtime failure → next candidate
             log(f"candidate ({backend}, n_acc={cfg.n_acc}) failed: {e!r}")
-    if step is None:
+    if best_plan is None:
         print(
             json.dumps(
                 {
@@ -133,7 +134,7 @@ def main():
         )
         return 1
 
-    secs = time_chained(step, jnp.asarray(c), rp_time=20, warmup=3)
+    secs = time_repeat(best_plan, b_dev, alpha, beta, c0, times=20)
     value = gflops(nnz, m, n, secs)
     log(f"kernel: {secs*1e3:.3f} ms -> {value:.1f} GFLOPS (incl. host padding path)")
 

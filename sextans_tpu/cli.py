@@ -27,9 +27,7 @@ from sextans_tpu.format.csr import CSRMatrix
 from sextans_tpu.format.pack import pack
 from sextans_tpu.io.mtx import read_mtx
 from sextans_tpu.ops.golden import golden_spmm
-from sextans_tpu.ops.spmm import spmm
 from sextans_tpu.utils.config import SpmmConfig, round_up
-from sextans_tpu.utils.timing import time_chained
 from sextans_tpu.utils.verify import gflops, verify
 
 
@@ -122,17 +120,19 @@ def main(argv=None) -> int:
     print("launch kernel", flush=True)
     import jax
 
+    from sextans_tpu.ops.spmm import plan as make_plan
+    from sextans_tpu.utils.timing import time_repeat
+
+    pl = make_plan(packed, n, backend=args.backend)
     b_dev = jax.numpy.asarray(b)  # upload once; host->device link dominates otherwise
-    step = lambda c_dev: spmm(  # noqa: E731
-        packed, b_dev, args.alpha, args.beta, c_dev, backend=args.backend
-    )
     c0 = jax.numpy.asarray(c)
-    t_kernel = time_chained(step, c0, rp_time=args.rp_time)
+    # in-device rp_time repeat loop (the reference's P_N bits 31:16 semantics)
+    t_kernel = time_repeat(pl, b_dev, args.alpha, args.beta, c0, times=args.rp_time)
     print(f"Kernel time is {t_kernel * 1e3:f} ms")
     print(f"GFLOPS:{gflops(nnz, m, n, t_kernel):f}")
 
     if c_ref is not None:
-        got = np.asarray(step(c0))
+        got = np.asarray(pl(b_dev, args.alpha, args.beta, c0))
         result = verify(c_ref, got)
         print(result)
         return 0 if result.passed else 1

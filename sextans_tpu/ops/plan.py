@@ -86,6 +86,46 @@ class SpmmPlan:
 
         self._jit = jax.jit(_step)
 
+        def _repeat(times):
+            def rep(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
+                b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
+                c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
+
+                def body(_, c_acc):
+                    return run(
+                        vals, qrow, bcol, gmt, gkw, b_p, c_acc, alpha, beta,
+                        **kernel_kwargs, **extra,
+                    )
+
+                out = jax.lax.fori_loop(0, times, body, c_p)
+                return out[:m, :n_]
+
+            return jax.jit(rep)
+
+        self._repeat_cache = {}
+        self._make_repeat = _repeat
+
+    def repeat(self, b, alpha=1.0, beta=0.0, c=None, times: int = 1) -> jax.Array:
+        """Run the kernel ``times`` times in-device, feeding C back each
+        iteration — ONE dispatch. The exact analog of the reference's
+        rp_time loop (P_N bits 31:16, src/sextans-host.cpp:223;
+        src/sextans.cpp:54-60): timing this and dividing by ``times``
+        excludes all host dispatch overhead."""
+        if times not in self._repeat_cache:
+            self._repeat_cache[times] = self._make_repeat(times)
+        b = jnp.asarray(b, dtype=jnp.float32)
+        if b.shape != (self.k, self.n):
+            raise ValueError(f"B must be ({self.k}, {self.n}), got {b.shape}")
+        if c is None:
+            if float(beta) != 0.0:
+                raise ValueError("beta != 0 requires an input C")
+            c = jnp.zeros((self.m, self.n), dtype=jnp.float32)
+        else:
+            c = jnp.asarray(c, dtype=jnp.float32)
+        return self._repeat_cache[times](
+            *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
+        )
+
     def __call__(self, b, alpha=1.0, beta=0.0, c=None) -> jax.Array:
         b = jnp.asarray(b, dtype=jnp.float32)
         if b.shape != (self.k, self.n):

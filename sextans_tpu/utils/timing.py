@@ -15,7 +15,7 @@ from typing import Callable
 
 import jax
 
-__all__ = ["time_chained"]
+__all__ = ["time_chained", "time_repeat"]
 
 
 def time_chained(
@@ -39,3 +39,14 @@ def time_chained(
         c = step(c)
     jax.block_until_ready(c)
     return (time.perf_counter() - t0) / max(rp_time, 1)
+
+
+def time_repeat(plan, b, alpha, beta, c0, times: int = 10) -> float:
+    """Time an SpmmPlan with the in-device repeat loop (one dispatch running
+    ``times`` chained kernels — the faithful rp_time analog). Returns
+    seconds per kernel invocation."""
+    # warmup with the same `times` so only one program is compiled
+    plan.repeat(b, alpha, beta, c0, times=times).block_until_ready()
+    t0 = time.perf_counter()
+    plan.repeat(b, alpha, beta, c0, times=times).block_until_ready()
+    return (time.perf_counter() - t0) / max(times, 1)
