@@ -97,6 +97,13 @@ def main():
             )
             plan = SpmmPlan(packed, n, backend=backend)
             got_cand = np.asarray(plan(b_dev, alpha, beta, c0))
+            res_cand = verify(ref, got_cand)
+            if not res_cand.passed:
+                log(
+                    f"  candidate ({backend}, n_acc={cfg.n_acc}) FAILED "
+                    f"verification: {res_cand.mismatch_percent:.2f}% mismatch"
+                )
+                continue
             secs = time_repeat(plan, b_dev, alpha, beta, c0, times=8)
             log(f"  candidate ({backend}, n_acc={cfg.n_acc}): {secs*1e3:.3f} ms")
             if best_secs is None or secs < best_secs:
