@@ -201,3 +201,19 @@ def test_nasa4704(nasa4704_path):
     # mirror expansion duplicates every off-diagonal stored entry
     assert coo.nnz == 2 * hdr.nnz_stored - n_diag
     assert coo.nnz > hdr.nnz_stored
+
+
+def test_gzip_mtx(tmp_path):
+    import gzip
+
+    text = """%%MatrixMarket matrix coordinate real general
+2 2 2
+1 1 1.5
+2 2 2.5
+"""
+    p = tmp_path / "g.mtx.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(text)
+    coo = read_mtx(p)
+    assert coo.nnz == 2
+    np.testing.assert_allclose(coo.vals, [1.5, 2.5])
