@@ -92,8 +92,13 @@ class SpmmPlan:
                 c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
 
                 def body(_, c_acc):
+                    # Tie B to the loop carry so XLA cannot hoist the
+                    # (loop-invariant) A@B out of the timing loop. The
+                    # perturbation is ~1e-38 * |C| — absorbed by float32
+                    # rounding, so results are numerically unchanged.
+                    b_i = b_p + c_acc[0:1, 0:1] * jnp.float32(1e-38)
                     return run(
-                        vals, qrow, bcol, gmt, gkw, b_p, c_acc, alpha, beta,
+                        vals, qrow, bcol, gmt, gkw, b_i, c_acc, alpha, beta,
                         **kernel_kwargs, **extra,
                     )
 

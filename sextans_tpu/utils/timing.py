@@ -42,11 +42,32 @@ def time_chained(
 
 
 def time_repeat(plan, b, alpha, beta, c0, times: int = 10) -> float:
-    """Time an SpmmPlan with the in-device repeat loop (one dispatch running
-    ``times`` chained kernels — the faithful rp_time analog). Returns
-    seconds per kernel invocation."""
-    # warmup with the same `times` so only one program is compiled
-    plan.repeat(b, alpha, beta, c0, times=times).block_until_ready()
-    t0 = time.perf_counter()
-    plan.repeat(b, alpha, beta, c0, times=times).block_until_ready()
-    return (time.perf_counter() - t0) / max(times, 1)
+    """Time an SpmmPlan with the in-device repeat loop (the faithful rp_time
+    analog). Returns seconds per kernel invocation.
+
+    Measurement is *differential*: wall(2T) - wall(T), each wall including a
+    full result fetch. This cancels every fixed cost — dispatch RTT, result
+    transfer, host overhead — and defeats two remote-runtime hazards observed
+    on the axon tunnel: result memoization of identical dispatches (alpha is
+    perturbed in the last mantissa bits per sample) and ``block_until_ready``
+    returning before execution completes (the fetch is the real barrier).
+    """
+    import numpy as np
+
+    times = max(times, 1)
+
+    def wall(t, al):
+        t0 = time.perf_counter()
+        out = plan.repeat(b, al, beta, c0, times=t)
+        np.asarray(out)  # forces completion + transfer
+        return time.perf_counter() - t0
+
+    wall(times, alpha)  # compile T
+    wall(2 * times, alpha)  # compile 2T
+    eps = abs(alpha) * 1e-7 + 1e-12
+    w1 = min(wall(times, alpha + eps), wall(times, alpha + 2 * eps))
+    w2 = min(wall(2 * times, alpha + 3 * eps), wall(2 * times, alpha + 4 * eps))
+    dt = (w2 - w1) / times
+    if dt <= 0:  # noise swamped the differential; fall back to the 2T wall
+        dt = w2 / (2 * times)
+    return dt
