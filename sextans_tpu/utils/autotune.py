@@ -38,6 +38,10 @@ C_FIXED = 10.0
 C_FMA = 3.0
 # Per group: grid-step + epilogue amortization.
 C_GROUP = 600.0
+# HBM bytes moved per VPU-cycle-equivalent (~800 GB/s at ~0.94 GHz); used to
+# charge the B-window refetch per (M-tile, K-window) job and the C tile
+# read+write per M-tile.
+BYTES_PER_CYCLE = 850.0
 
 
 def block_counts(
@@ -53,6 +57,27 @@ def block_counts(
     return out
 
 
+def job_counts(coo: COOMatrix, tile_m: int, window_k: int) -> int:
+    """Exact number of (M-tile, K-window) jobs with nonzeros — each one costs
+    a B-window fetch (the window_k x tile_n VMEM fill)."""
+    mt = coo.rows.astype(np.int64) // tile_m
+    kw = coo.cols.astype(np.int64) // window_k
+    keys = mt * ((coo.shape[1] // window_k) + 1) + kw
+    return int(np.unique(keys).size)
+
+
+VMEM_BUDGET = 14 * 1024 * 1024  # ~16 MB/core minus headroom
+
+
+def vmem_estimate(cfg: SpmmConfig, tile_n: int) -> int:
+    """Approximate kernel VMEM footprint in bytes (double-buffered inputs)."""
+    acc = cfg.n_acc * cfg.tile_m * tile_n
+    cio = 4 * cfg.tile_m * tile_n  # C_in + out, double-buffered
+    bwin = 2 * cfg.window_k * tile_n
+    vals = 2 * 8 * cfg.group_blocks * cfg.block_k
+    return 4 * (acc + cio + bwin + vals)
+
+
 @dataclass
 class TuneResult:
     config: SpmmConfig
@@ -64,18 +89,36 @@ def choose_config(
     coo: COOMatrix,
     base: SpmmConfig = SpmmConfig(),
     block_ks: Sequence[int] = (1, 2, 4, 8, 16),
+    tile_ms: Sequence[int] = (512, 1024, 2048),
     top: int = 1,
+    tile_n: int = 512,
 ) -> List[TuneResult]:
-    """Analytic config choice; returns the ``top`` candidates, best first."""
+    """Analytic config choice; returns the ``top`` candidates, best first.
+
+    Modeled kernel cost per N-panel (VPU-cycle units):
+    blocks * (C_FIXED + C_FMA*bk)          — micro-kernel work
+    + groups * C_GROUP                     — grid-step overhead
+    + jobs * window_k*tile_n*4 / BYTES_PER_CYCLE   — B window refetch DMA
+    + m_tiles * 2*tile_m*tile_n*4 / BYTES_PER_CYCLE — C tile in+out DMA
+    """
     counts = block_counts(coo, block_ks)
     results = []
-    for bk, nb in counts.items():
-        # group_blocks scaled so a group is ~128 lanes * a few chunks
-        gb = max(128 // bk, 1) * 16
-        cfg = base.with_(block_k=bk, group_blocks=gb)
-        ngroups = max(1, cdiv(nb, gb))
-        cost = nb * (C_FIXED + C_FMA * bk) + ngroups * C_GROUP
-        results.append(TuneResult(cfg, cost))
+    for tm in tile_ms:
+        for bk, nb in counts.items():
+            gb = max(128 // bk, 1) * 16
+            cfg = base.with_(block_k=bk, group_blocks=gb, tile_m=tm)
+            if vmem_estimate(cfg, tile_n) > VMEM_BUDGET:
+                continue
+            ngroups = max(1, cdiv(nb, gb))
+            njobs = job_counts(coo, tm, cfg.window_k)
+            n_mtiles = cdiv(max(coo.shape[0], 1), tm)
+            cost = (
+                nb * (C_FIXED + C_FMA * bk)
+                + ngroups * C_GROUP
+                + njobs * (cfg.window_k * tile_n * 4) / BYTES_PER_CYCLE
+                + n_mtiles * (2 * tm * tile_n * 4) / BYTES_PER_CYCLE
+            )
+            results.append(TuneResult(cfg, cost))
     results.sort(key=lambda r: r.predicted_cost)
     return results[:top]
 
