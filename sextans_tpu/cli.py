@@ -41,7 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("rp_time", type=int, nargs="?", default=1, help="kernel repeats for timing")
     p.add_argument("alpha", type=float, nargs="?", default=0.85)
     p.add_argument("beta", type=float, nargs="?", default=-2.06)
-    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument(
+        "--backend",
+        default="auto",
+        choices=["auto", "pallas", "xla", "pallas_interpret"],
+        help="pallas_interpret = interpreter-mode kernel (the swsim analog)",
+    )
     p.add_argument("--tile-m", type=int, default=None)
     p.add_argument("--window-k", type=int, default=None)
     p.add_argument("--block-k", type=int, default=None)

@@ -31,7 +31,14 @@ class SpmmPlan:
         tile_n: Optional[int] = None,
     ):
         if backend == "auto":
-            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+            # SEXTANS_TPU_BACKEND overrides auto-detection — the analog of the
+            # reference's TAPAB env var selecting the bitstream
+            # (src/sextans-host.cpp:232-234).
+            import os
+
+            backend = os.environ.get("SEXTANS_TPU_BACKEND") or (
+                "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+            )
         self.backend = backend
         self.packed = packed
         cfg = packed.config
