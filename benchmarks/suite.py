@@ -35,7 +35,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True):
     from sextans_tpu.ops.plan import SpmmPlan
     from sextans_tpu.utils.autotune import choose_config
     from sextans_tpu.utils.config import SpmmConfig
-    from sextans_tpu.utils.timing import time_chained
+    from sextans_tpu.utils.timing import time_repeat
     from sextans_tpu.utils.verify import gflops, verify
 
     m, k = coo.shape
@@ -52,7 +52,6 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True):
     plan = SpmmPlan(packed, n, backend=backend)
     b_dev = jnp.asarray(b)
     c_dev = jnp.asarray(c)
-    step = lambda cc: plan(b_dev, alpha, beta, cc)  # noqa: E731
 
     rec = {
         "matrix": name,
@@ -69,7 +68,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True):
     }
 
     if verify_gate:
-        got = np.asarray(step(c_dev))
+        got = np.asarray(plan(b_dev, alpha, beta, c_dev))
         ref = golden_spmm(CSRMatrix.from_coo(coo), b, alpha, beta, c)
         res = verify(ref, got)
         rec["verify"] = "pass" if res.passed else "FAIL"
@@ -78,7 +77,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True):
             log(f"  !! verification failed: {res}")
             return rec
 
-    secs = time_chained(step, c_dev, rp_time=rp_time, warmup=2)
+    secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=rp_time)
     rec["ms"] = round(secs * 1e3, 3)
     rec["gflops"] = round(gflops(coo.nnz, m, n, secs), 2)
     return rec

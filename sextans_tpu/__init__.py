@@ -23,6 +23,13 @@ from sextans_tpu.io.mtx import MtxHeader, read_mtx, read_mtx_coo, write_mtx
 from sextans_tpu.ops.golden import golden_spmm, golden_spmm_exact, spmm_flops
 from sextans_tpu.ops.autodiff import spmm_op
 from sextans_tpu.ops.plan import SpmmPlan
+from sextans_tpu.parallel.partition import ShardedSpMatrix, pack_sharded, pack_sharded_k
+from sextans_tpu.parallel.sharding import (
+    ShardedSpmmPlan,
+    make_mesh,
+    spmm_sharded,
+    spmm_sharded_k,
+)
 from sextans_tpu.ops.spmm import plan, prepare, spmm
 from sextans_tpu.utils.config import SpmmConfig
 from sextans_tpu.utils.verify import VerifyResult, gflops, verify
@@ -47,6 +54,13 @@ __all__ = [
     "SpmmPlan",
     "spmm",
     "spmm_op",
+    "ShardedSpMatrix",
+    "pack_sharded",
+    "pack_sharded_k",
+    "ShardedSpmmPlan",
+    "make_mesh",
+    "spmm_sharded",
+    "spmm_sharded_k",
     "golden_spmm",
     "golden_spmm_exact",
     "spmm_flops",
