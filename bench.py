@@ -48,7 +48,6 @@ def main():
 
     from sextans_tpu.format.csr import CSRMatrix
     from sextans_tpu.ops.golden import golden_spmm
-    from sextans_tpu.ops.spmm import spmm
     from sextans_tpu.format.pack import pack
     from sextans_tpu.utils.config import SpmmConfig
     from sextans_tpu.utils.timing import time_repeat

@@ -16,7 +16,6 @@ import argparse
 import itertools
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -46,7 +45,7 @@ def main(argv=None):
     from sextans_tpu.format.csr import CSRMatrix
     from sextans_tpu.ops.plan import SpmmPlan
     from sextans_tpu.utils.config import SpmmConfig
-    from sextans_tpu.utils.timing import time_chained
+    from sextans_tpu.utils.timing import time_repeat
     from sextans_tpu.utils.verify import gflops, verify
 
     gens = suite("full")
@@ -110,10 +109,7 @@ def main(argv=None):
             if not res.passed:
                 log(f"{combo} tile_n={tn}: VERIFY FAILED {res.mismatch_percent}%")
                 continue
-            secs = time_chained(
-                lambda cc: plan(b, 0.85, -2.06, cc), c,
-                rp_time=args.rp_time, warmup=2,
-            )
+            secs = time_repeat(plan, b, 0.85, -2.06, c, times=args.rp_time)
             gf = gflops(coo.nnz, m, n, secs)
             rec = {**combo, "tile_n": tn, "ms": round(secs * 1e3, 3),
                    "gflops": round(gf, 1),

@@ -17,7 +17,7 @@ first/last-group epilogue logic is untouched.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

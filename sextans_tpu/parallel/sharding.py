@@ -13,7 +13,6 @@ for matrices whose K dimension dominates (``spmm_sharded_k``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

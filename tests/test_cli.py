@@ -1,7 +1,6 @@
 """CLI tests — parity with the reference host binary's interface
 (src/sextans-host.cpp:26-48, output format :253-290)."""
 
-import numpy as np
 import pytest
 
 from sextans_tpu.cli import build_parser, main
