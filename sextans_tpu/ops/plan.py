@@ -93,6 +93,22 @@ class SpmmPlan:
 
         self._jit = jax.jit(_step)
 
+        # beta == 0 / no-C fast path: the Pallas kernel drops the C_in stream
+        # entirely (saves an M x N HBM read per call).
+        self._jit_noc = None
+        if backend in ("pallas", "pallas_interpret"):
+
+            def _step_noc(vals, qrow, bcol, gmt, gkw, b, alpha):
+                b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
+                c_shape = jnp.zeros((m_padded, n_padded), jnp.float32)
+                out = run(
+                    vals, qrow, bcol, gmt, gkw, b_p, c_shape, alpha,
+                    jnp.float32(0.0), **kernel_kwargs, **extra, with_c=False,
+                )
+                return out[:m, :n_]
+
+            self._jit_noc = jax.jit(_step_noc)
+
         def _repeat(times):
             def rep(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
                 b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
@@ -145,6 +161,8 @@ class SpmmPlan:
         if c is None:
             if float(beta) != 0.0:
                 raise ValueError("beta != 0 requires an input C")
+            if self._jit_noc is not None:
+                return self._jit_noc(*self._dev, b, jnp.float32(alpha))
             c = jnp.zeros((self.m, self.n), dtype=jnp.float32)
         else:
             c = jnp.asarray(c, dtype=jnp.float32)

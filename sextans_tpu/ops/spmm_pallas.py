@@ -47,15 +47,18 @@ def _kernel(
     qrow_ref,  # (1, 1, G) i32 SMEM
     bcol_ref,  # (1, 1, G) i32 SMEM
     b_ref,  # (1, window_k, tile_n) f32 VMEM
-    cin_ref,  # (tile_m, tile_n) f32 VMEM
-    out_ref,  # (tile_m, tile_n) f32 VMEM
-    acc_ref,  # (n_acc, tile_m, tile_n) f32 VMEM scratch, persists across steps
-    *,
+    *rest,  # [cin_ref if with_c,] out_ref, acc_ref
     group_blocks: int,
     block_k: int,
     n_acc: int,
     chunk_unroll: int,
+    with_c: bool = True,
 ):
+    if with_c:
+        cin_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
+        cin_ref = None
     g = pl.program_id(1)
     mt = mt_ref[g]
     prev_mt = jnp.where(g == 0, jnp.int32(-2), mt_ref[jnp.maximum(g - 1, 0)])
@@ -105,11 +108,13 @@ def _kernel(
     @pl.when(is_last)
     def _epilogue():
         alpha = ab_ref[0]
-        beta = ab_ref[1]
         total = acc_ref[0]
         for a in range(1, n_acc):
             total = total + acc_ref[a]
-        out_ref[...] = alpha * total + beta * cin_ref[...]
+        if with_c:
+            out_ref[...] = alpha * total + ab_ref[1] * cin_ref[...]
+        else:
+            out_ref[...] = alpha * total
 
 
 @functools.partial(
@@ -123,6 +128,7 @@ def _kernel(
         "interpret",
         "n_acc",
         "chunk_unroll",
+        "with_c",
     ),
 )
 def spmm_pallas_padded(
@@ -144,7 +150,10 @@ def spmm_pallas_padded(
     interpret: bool = False,
     n_acc: int = 1,
     chunk_unroll: int = 1,
+    with_c: bool = True,
 ) -> jax.Array:
+    """``with_c=False`` drops the C_in stream entirely (for beta == 0):
+    ``c_padded`` is then only used for its shape."""
     ngroups = vals.shape[0]
     m_padded, n_padded = c_padded.shape
     k_padded = b_padded.shape[0]
@@ -171,18 +180,21 @@ def spmm_pallas_padded(
     def c_idx(n, g, mt, kw, ab_):
         return (mt[g], n)
 
+    in_specs = [
+        pl.BlockSpec((1, 8, G * bk), vals_idx),
+        # SMEM blocks must cover the array's last two dims exactly →
+        # index arrays are shipped as (ngroups, 1, G).
+        pl.BlockSpec((1, 1, G), edge_idx, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, G), edge_idx, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, window_k, tile_n), b_idx),
+    ]
+    if with_c:
+        in_specs.append(pl.BlockSpec((tile_m, tile_n), c_idx))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 8, G * bk), vals_idx),
-            # SMEM blocks must cover the array's last two dims exactly →
-            # index arrays are shipped as (ngroups, 1, G).
-            pl.BlockSpec((1, 1, G), edge_idx, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, G), edge_idx, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, window_k, tile_n), b_idx),
-            pl.BlockSpec((tile_m, tile_n), c_idx),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_m, tile_n), c_idx),
         scratch_shapes=[pltpu.VMEM((n_acc, tile_m, tile_n), jnp.float32)],
     )
@@ -193,6 +205,7 @@ def spmm_pallas_padded(
         block_k=bk,
         n_acc=n_acc,
         chunk_unroll=chunk_unroll,
+        with_c=with_c,
     )
 
     flops_per_group = G * 8 * bk * 2 * tile_n
@@ -204,6 +217,9 @@ def spmm_pallas_padded(
         transcendentals=0,
     )
 
+    operands = [group_mtile, group_kwin, ab, vals, qrow3, bcol3, b3]
+    if with_c:
+        operands.append(c_padded)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -213,4 +229,4 @@ def spmm_pallas_padded(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(group_mtile, group_kwin, ab, vals, qrow3, bcol3, b3, c_padded)
+    )(*operands)
