@@ -113,3 +113,20 @@ def test_k_sharded_rejects_row_pack():
     sharded = pack_sharded(coo, 2, CFG)
     with pytest.raises(ValueError, match="pack_sharded_k"):
         spmm_sharded_k(sharded, b, backend="xla")
+
+
+def test_sharded_plan_reuse():
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlan
+
+    coo, b, c = _problem(128, 96, 16, 1000, seed=60)
+    sharded = pack_sharded(coo, 4, CFG)
+    plan = ShardedSpmmPlan(sharded, 16, backend="xla")
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 1.5, -0.5, c)
+    got1 = np.asarray(plan(b, 1.5, -0.5, c))
+    got2 = np.asarray(plan(b * 2, 1.5, -0.5, c))
+    assert np.max(np.abs(got1 - want)) < 1e-4
+    # second call reuses the compiled program with new operands
+    want2 = golden_spmm_exact(CSRMatrix.from_coo(coo), b * 2, 1.5, -0.5, c)
+    assert np.max(np.abs(got2 - want2)) < 1e-4
+    with pytest.raises(ValueError, match="row"):
+        ShardedSpmmPlan(pack_sharded_k(coo, 4, CFG), 16, backend="xla")
