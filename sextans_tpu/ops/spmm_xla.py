@@ -47,6 +47,7 @@ def spmm_xla_padded(
     n_stripes = m_padded // 8
 
     vals_blk = vals.reshape(ngroups, 8, G, bk).transpose(0, 2, 1, 3)  # (ngroups,G,8,bk)
+    stripe_iota = jnp.arange(tmq, dtype=jnp.int32)
 
     def step(acc, xs):
         v_g, q_g, c_g, mt_g, kw_g = xs
@@ -63,8 +64,19 @@ def spmm_xla_padded(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (G, 8, n_padded)
-        stripes = mt_g * tmq + q_g  # (G,) global stripe ids
-        acc = acc.at[stripes].add(contrib)
+        # Scatter within the M-tile as a one-hot matmul (0/1 entries are
+        # exact in any precision) — dense MXU work instead of scatter-add.
+        onehot = (stripe_iota[:, None] == q_g[None, :]).astype(jnp.float32)
+        tile = jnp.einsum(
+            "tg,gin->tin",
+            onehot,
+            contrib,
+            preferred_element_type=jnp.float32,
+        )  # (tmq, 8, n_padded)
+        # Accumulate into the group's M-tile with a dynamic slice read+write.
+        start = (mt_g * tmq, 0, 0)
+        old = jax.lax.dynamic_slice(acc, start, (tmq, 8, n_padded))
+        acc = jax.lax.dynamic_update_slice(acc, old + tile, start)
         return acc, None
 
     acc0 = jnp.zeros((n_stripes, 8, n_padded), dtype=jnp.float32)
