@@ -104,16 +104,27 @@ def choose_config(
     counts = block_counts(coo, block_ks)
     results = []
     for tm in tile_ms:
+        njobs = None
         for bk, nb in counts.items():
-            gb = max(128 // bk, 1) * 16
-            cfg = base.with_(block_k=bk, group_blocks=gb, tile_m=tm)
+            chunk = max(128 // bk, 1)
+            cfg0 = base.with_(block_k=bk, tile_m=tm)
+            if njobs is None:
+                njobs = job_counts(coo, tm, cfg0.window_k)
+            # Size groups near the average job so per-job group padding
+            # (each job is padded to a multiple of group_blocks) stays small;
+            # padding blocks cost the same kernel time as real ones.
+            avg_job = max(1, nb // max(njobs, 1))
+            gb = chunk
+            while gb * 2 <= min(2 * avg_job, 1024):
+                gb *= 2
+            cfg = cfg0.with_(group_blocks=gb)
             if vmem_estimate(cfg, tile_n) > VMEM_BUDGET:
                 continue
-            ngroups = max(1, cdiv(nb, gb))
-            njobs = job_counts(coo, tm, cfg.window_k)
+            padded_blocks = nb + njobs * gb // 2  # expected half-group waste/job
+            ngroups = max(1, cdiv(padded_blocks, gb))
             n_mtiles = cdiv(max(coo.shape[0], 1), tm)
             cost = (
-                nb * (C_FIXED + C_FMA * bk)
+                padded_blocks * (C_FIXED + C_FMA * bk)
                 + ngroups * C_GROUP
                 + njobs * (cfg.window_k * tile_n * 4) / BYTES_PER_CYCLE
                 + n_mtiles * (2 * tm * tile_n * 4) / BYTES_PER_CYCLE
