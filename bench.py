@@ -73,9 +73,8 @@ def main():
     # compile on this runtime (bench must never zero out on a variant bug).
     preferred = "pallas" if platform == "tpu" else "xla"
     candidates = [
-        (SpmmConfig(n_acc=2), preferred),  # perf bet (~14.8MB VMEM)
-        (SpmmConfig(), preferred),  # proven on-chip config (~13.8MB VMEM)
-        (SpmmConfig(tile_n=256, n_acc=2), preferred),  # low-VMEM safety (~7.5MB)
+        (SpmmConfig(), preferred),  # measured best on v5e: n_acc=2, tile_n<=256
+        (SpmmConfig(n_acc=1, tile_n=512), preferred),  # conservative fallback
         (SpmmConfig(), "xla"),
     ]
     best_plan = None
