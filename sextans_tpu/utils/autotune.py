@@ -91,7 +91,7 @@ def choose_config(
     block_ks: Sequence[int] = (1, 2, 4, 8, 16),
     tile_ms: Sequence[int] = (512, 1024, 2048),
     top: int = 1,
-    tile_n: int = 512,
+    tile_n: int = 256,
 ) -> List[TuneResult]:
     """Analytic config choice; returns the ``top`` candidates, best first.
 
@@ -130,6 +130,11 @@ def choose_config(
                 + n_mtiles * (2 * tm * tile_n * 4) / BYTES_PER_CYCLE
             )
             results.append(TuneResult(cfg, cost))
+    if not results:  # every candidate exceeded the VMEM budget: shrink tile_n
+        return choose_config(
+            coo, base, block_ks, tile_ms=(min(tile_ms),), top=top,
+            tile_n=max(tile_n // 2, 128),
+        )
     results.sort(key=lambda r: r.predicted_cost)
     return results[:top]
 
