@@ -91,7 +91,7 @@ def choose_config(
     block_ks: Sequence[int] = (1, 2, 4, 8, 16),
     tile_ms: Sequence[int] = (512, 1024, 2048),
     top: int = 1,
-    tile_n: int = 256,
+    tile_n: int = 512,
 ) -> List[TuneResult]:
     """Analytic config choice; returns the ``top`` candidates, best first.
 

@@ -57,9 +57,10 @@ class SpmmConfig:
     #   store→load chain between dynamic accumulator slices (the TPU echo of
     #   DEP_DIST_LOAD_STORE, src/sextans.h:12, as a pure throughput hint).
     # chunk_unroll — fori_loop unroll factor for the 16-block chunk loop.
-    # Measured on TPU v5e (nasa4704, N=512, T=512 differential timing):
-    # n_acc=2 + tile_n=256 → 771 GFLOPS vs 458 for n_acc=1/tile_n=512.
-    n_acc: int = 2
+    # Measured on TPU v5e (nasa4704, N=512): n_acc=1 + tile_n=512 is stable
+    # at ~470 GFLOPS across runs; n_acc=2 + tile_n=256 peaked at 771 GFLOPS
+    # but is bimodal (0.15-0.5 ms) — kept as a bench/autotune candidate.
+    n_acc: int = 1
     chunk_unroll: int = 1
 
     def __post_init__(self):
@@ -91,6 +92,4 @@ class SpmmConfig:
     def resolve_tile_n(self, n: int) -> int:
         if self.tile_n is not None:
             return self.tile_n
-        # 256 measured ~1.65x faster than 512 on v5e at N=512: the smaller
-        # B window + C tiles leave VMEM headroom for double buffering.
-        return min(round_up(n, 128), 256)
+        return min(round_up(n, 128), 512)

@@ -77,10 +77,9 @@ def test_config_validation():
 def test_resolve_tile_n():
     cfg = SpmmConfig()
     assert cfg.resolve_tile_n(16) == 128
-    # capped at 256: measured faster than 512 on v5e (VMEM headroom)
-    assert cfg.resolve_tile_n(512) == 256
-    assert cfg.resolve_tile_n(2000) == 256
-    assert SpmmConfig(tile_n=512).resolve_tile_n(2000) == 512
+    assert cfg.resolve_tile_n(512) == 512
+    assert cfg.resolve_tile_n(2000) == 512
+    assert SpmmConfig(tile_n=256).resolve_tile_n(2000) == 256
 
 
 # ---- timing harness ----
