@@ -103,7 +103,13 @@ def _kernel(
             do_block(t * per_chunk + u, vblk[:, u * bk : (u + 1) * bk], u % n_acc)
         return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=chunk_unroll)
+    # Mosaic supports only unroll=1 or full unroll; full unroll of the chunk
+    # loop measured ~12% faster (512 vs 457 GFLOPS on nasa4704 N=512, v5e).
+    full_unroll = chunk_unroll != 1 and num_chunks <= 16
+    jax.lax.fori_loop(
+        0, num_chunks, chunk_body, 0,
+        unroll=(num_chunks if full_unroll else 1),
+    )
 
     @pl.when(is_last)
     def _epilogue():

@@ -114,8 +114,9 @@ def choose_config(
             # (each job is padded to a multiple of group_blocks) stays small;
             # padding blocks cost the same kernel time as real ones.
             avg_job = max(1, nb // max(njobs, 1))
+            # cap at 16 chunks so the kernel's full chunk-loop unroll applies
             gb = chunk
-            while gb * 2 <= min(2 * avg_job, 1024):
+            while gb * 2 <= min(2 * avg_job, 16 * chunk):
                 gb *= 2
             cfg = cfg0.with_(group_blocks=gb)
             if vmem_estimate(cfg, tile_n) > VMEM_BUDGET:

@@ -61,7 +61,9 @@ class SpmmConfig:
     # at ~470 GFLOPS across runs; n_acc=2 + tile_n=256 peaked at 771 GFLOPS
     # but is bimodal (0.15-0.5 ms) — kept as a bench/autotune candidate.
     n_acc: int = 1
-    chunk_unroll: int = 1
+    # chunk_unroll != 1 requests FULL unroll of the chunk loop (Mosaic only
+    # supports 1 or all); applied when the group has <= 16 chunks.
+    chunk_unroll: int = 2
 
     def __post_init__(self):
         if self.tile_m % 8 != 0 or self.tile_m <= 0:
