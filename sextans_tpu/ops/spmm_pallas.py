@@ -104,8 +104,9 @@ def _kernel(
         return 0
 
     # Mosaic supports only unroll=1 or full unroll; full unroll of the chunk
-    # loop measured ~12% faster (512 vs 457 GFLOPS on nasa4704 N=512, v5e).
-    full_unroll = chunk_unroll != 1 and num_chunks <= 16
+    # loop measured ~12% faster at 256 unrolled blocks (nasa4704, bk=8) but
+    # 2x SLOWER at 512 unrolled blocks (cant-like, bk=4) — cap by block count.
+    full_unroll = chunk_unroll != 1 and num_chunks * per_chunk <= 256
     jax.lax.fori_loop(
         0, num_chunks, chunk_body, 0,
         unroll=(num_chunks if full_unroll else 1),
