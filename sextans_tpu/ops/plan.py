@@ -115,11 +115,16 @@ class SpmmPlan:
                 c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
 
                 def body(_, c_acc):
-                    # Tie B to the loop carry so XLA cannot hoist the
-                    # (loop-invariant) A@B out of the timing loop. The
-                    # perturbation is ~1e-38 * |C| — absorbed by float32
-                    # rounding, so results are numerically unchanged.
-                    b_i = b_p + c_acc[0:1, 0:1] * jnp.float32(1e-38)
+                    # XLA backend only: tie B to the loop carry so LICM cannot
+                    # hoist the (loop-invariant) A@B out of the timing loop.
+                    # The perturbation is ~1e-38 * |C| — absorbed by float32
+                    # rounding. The Pallas kernel is an opaque call consuming
+                    # the carry, so it is unhoistable as-is and skips the
+                    # full-B copy this would cost per iteration.
+                    if backend == "xla":
+                        b_i = b_p + c_acc[0:1, 0:1] * jnp.float32(1e-38)
+                    else:
+                        b_i = b_p
                     return run(
                         vals, qrow, bcol, gmt, gkw, b_i, c_acc, alpha, beta,
                         **kernel_kwargs, **extra,
