@@ -128,6 +128,8 @@ def read_mtx_coo(
         payload = b"\n".join(lines)
 
     text = payload.decode("ascii", errors="replace")
+    if "\r" in text[:4096]:  # Windows line endings would break fromstring
+        text = text.replace("\r", " ")
     # Find the size line (first non-blank line).
     idx = 0
     n = len(text)

@@ -217,3 +217,12 @@ def test_gzip_mtx(tmp_path):
     coo = read_mtx(p)
     assert coo.nnz == 2
     np.testing.assert_allclose(coo.vals, [1.5, 2.5])
+
+
+def test_crlf_line_endings(tmp_path):
+    text = "%%MatrixMarket matrix coordinate real general\r\n2 2 2\r\n1 1 1.5\r\n2 2 2.5\r\n"
+    p = tmp_path / "crlf.mtx"
+    p.write_bytes(text.encode())
+    coo = read_mtx(p)
+    assert coo.nnz == 2
+    np.testing.assert_allclose(coo.vals, [1.5, 2.5])
