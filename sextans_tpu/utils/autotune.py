@@ -31,16 +31,16 @@ from sextans_tpu.utils.config import SpmmConfig, cdiv
 
 __all__ = ["choose_config", "autotune", "block_counts", "TuneResult"]
 
-# Relative vector-op costs in the Pallas micro-kernel (per block, per 256-wide
-# N panel): accumulator read+write + B-row loads + index/address overhead.
-C_FIXED = 10.0
-# Per block column: one (8, tile_n) broadcast FMA + its share of the B load.
-C_FMA = 3.0
-# Per group: grid-step + epilogue amortization.
+# Cost-model constants, calibrated against v5e measurements (docs/BENCHMARKING.md):
+# scalar/addressing cycles per block visit (a visit = block x N-panel)
+S_FIXED = 5.0
+# vector cycles per visit ~ (bk + C_VEC) * (tile_n/128) / VREGS_PER_CYCLE
+C_VEC = 3.0
+VREGS_PER_CYCLE = 4.0  # VPU ALUs retire ~4 (8,128) ops/cycle
+# Per grid step (group x panel): pipeline + epilogue amortization.
 C_GROUP = 600.0
-# HBM bytes moved per VPU-cycle-equivalent (~800 GB/s at ~0.94 GHz); used to
-# charge the B-window refetch per (M-tile, K-window) job and the C tile
-# read+write per M-tile.
+# HBM bytes moved per cycle (~800 GB/s at ~0.94 GHz): charges the B-window
+# refetch per (M-tile, K-window) job, C in/out, and the A re-stream per panel.
 BYTES_PER_CYCLE = 850.0
 
 
@@ -89,53 +89,73 @@ def choose_config(
     coo: COOMatrix,
     base: SpmmConfig = SpmmConfig(),
     block_ks: Sequence[int] = (1, 2, 4, 8, 16),
-    tile_ms: Sequence[int] = (512, 1024, 2048),
+    tile_ms: Sequence[int] = (512, 1024, 2048, 4096),
+    tile_ns: Sequence[int] = (128, 256, 512),
     top: int = 1,
-    tile_n: int = 512,
+    n: int = 512,
 ) -> List[TuneResult]:
-    """Analytic config choice; returns the ``top`` candidates, best first.
+    """Analytic config choice over (block_k, tile_m, tile_n); best first.
 
-    Modeled kernel cost per N-panel (VPU-cycle units):
-    blocks * (C_FIXED + C_FMA*bk)          — micro-kernel work
-    + groups * C_GROUP                     — grid-step overhead
-    + jobs * window_k*tile_n*4 / BYTES_PER_CYCLE   — B window refetch DMA
-    + m_tiles * 2*tile_m*tile_n*4 / BYTES_PER_CYCLE — C tile in+out DMA
+    Modeled total kernel cycles for an (M,K) x (K,N) product with
+    panels = N / tile_n:
+
+      blocks * [ S_FIXED * panels                      — scalar/addressing
+                 + (bk + C_VEC) * N/128 / VREGS_PER_CYCLE ]   — vector work
+      + groups * C_GROUP * panels                      — grid-step overhead
+      + [ jobs * window_k * 4 * N                      — B window refetches
+          + 2 * M * N * 4                              — C in + out
+          + A_bytes * panels ] / BYTES_PER_CYCLE       — A re-stream per panel
+
+    Group padding (each job padded to a multiple of group_blocks) is modeled
+    as half a group per job. Candidates exceeding the VMEM budget are
+    dropped; tile_n is chosen jointly so large tile_m (fewer B refetches)
+    remains reachable at small tile_n.
     """
+    m = max(coo.shape[0], 1)
     counts = block_counts(coo, block_ks)
     results = []
     for tm in tile_ms:
-        njobs = None
+        njobs = job_counts(coo, tm, base.window_k)
         for bk, nb in counts.items():
             chunk = max(128 // bk, 1)
             cfg0 = base.with_(block_k=bk, tile_m=tm)
-            if njobs is None:
-                njobs = job_counts(coo, tm, cfg0.window_k)
-            # Size groups near the average job so per-job group padding
-            # (each job is padded to a multiple of group_blocks) stays small;
-            # padding blocks cost the same kernel time as real ones.
+            # Size groups near the average job so per-job group padding stays
+            # small; cap at 256 unrolled blocks (kernel full-unroll limit).
             avg_job = max(1, nb // max(njobs, 1))
-            # cap at 16 chunks so the kernel's full chunk-loop unroll applies
             gb = chunk
-            while gb * 2 <= min(2 * avg_job, 16 * chunk):
+            while gb * 2 <= min(2 * avg_job, max(256, chunk)):
                 gb *= 2
             cfg = cfg0.with_(group_blocks=gb)
-            if vmem_estimate(cfg, tile_n) > VMEM_BUDGET:
-                continue
-            padded_blocks = nb + njobs * gb // 2  # expected half-group waste/job
+            padded_blocks = nb + njobs * gb // 2
             ngroups = max(1, cdiv(padded_blocks, gb))
-            n_mtiles = cdiv(max(coo.shape[0], 1), tm)
-            cost = (
-                padded_blocks * (C_FIXED + C_FMA * bk)
-                + ngroups * C_GROUP
-                + njobs * (cfg.window_k * tile_n * 4) / BYTES_PER_CYCLE
-                + n_mtiles * (2 * tm * tile_n * 4) / BYTES_PER_CYCLE
+            a_bytes = padded_blocks * (32 * bk + 8)
+            for tn in tile_ns:
+                if tn > ((n + 127) // 128) * 128:
+                    continue
+                if vmem_estimate(cfg, tn) > VMEM_BUDGET:
+                    continue
+                panels = max(1, cdiv(n, tn))
+                cost = (
+                    padded_blocks
+                    * (
+                        S_FIXED * panels
+                        + (bk + C_VEC) * (n / 128.0) / VREGS_PER_CYCLE
+                    )
+                    + ngroups * C_GROUP * panels
+                    + (
+                        njobs * cfg.window_k * 4 * n
+                        + 2 * m * n * 4
+                        + a_bytes * panels
+                    )
+                    / BYTES_PER_CYCLE
+                )
+                results.append(TuneResult(cfg.with_(tile_n=tn), cost))
+    if not results:  # nothing fits VMEM: smallest safe fallback
+        return [
+            TuneResult(
+                base.with_(tile_m=min(tile_ms), tile_n=128), float("inf")
             )
-            results.append(TuneResult(cfg, cost))
-    if not results:  # every candidate exceeded the VMEM budget: shrink tile_n
-        return choose_config(
-            coo, base, block_ks, tile_ms=(min(tile_ms),), top=top,
-            tile_n=max(tile_n // 2, 128),
-        )
+        ]
     results.sort(key=lambda r: r.predicted_cost)
     return results[:top]
 
