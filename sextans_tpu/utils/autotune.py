@@ -88,9 +88,9 @@ class TuneResult:
 def choose_config(
     coo: COOMatrix,
     base: SpmmConfig = SpmmConfig(),
-    block_ks: Sequence[int] = (1, 2, 4, 8, 16),
-    tile_ms: Sequence[int] = (512, 1024, 2048, 4096),
-    tile_ns: Sequence[int] = (128, 256, 512),
+    block_ks: Sequence[int] = (1, 2, 4, 8),
+    tile_ms: Sequence[int] = (512, 1024),
+    tile_ns: Sequence[int] = (256, 512),
     top: int = 1,
     n: int = 512,
 ) -> List[TuneResult]:
@@ -120,10 +120,11 @@ def choose_config(
             chunk = max(128 // bk, 1)
             cfg0 = base.with_(block_k=bk, tile_m=tm)
             # Size groups near the average job so per-job group padding stays
-            # small; cap at 256 unrolled blocks (kernel full-unroll limit).
+            # small (groups beyond 256 blocks lose the kernel's full unroll
+            # but amortize grid steps — both regimes measured competitive).
             avg_job = max(1, nb // max(njobs, 1))
             gb = chunk
-            while gb * 2 <= min(2 * avg_job, max(256, chunk)):
+            while gb * 2 <= min(2 * avg_job, max(1024, chunk)):
                 gb *= 2
             cfg = cfg0.with_(group_blocks=gb)
             padded_blocks = nb + njobs * gb // 2
@@ -164,17 +165,17 @@ def autotune(
     coo: COOMatrix,
     n: int,
     base: SpmmConfig = SpmmConfig(),
-    block_ks: Sequence[int] = (2, 4, 8, 16),
+    block_ks: Sequence[int] = (2, 4, 8),
     candidates: int = 3,
     backend: str = "auto",
-    rp_time: int = 5,
+    rp_time: int = 64,
 ) -> TuneResult:
     """Measured autotune: time the top analytic candidates on device."""
     import jax.numpy as jnp
 
     from sextans_tpu.format.pack import pack
     from sextans_tpu.ops.plan import SpmmPlan
-    from sextans_tpu.utils.timing import time_chained
+    from sextans_tpu.utils.timing import time_repeat
 
     cands = choose_config(coo, base, block_ks, top=candidates)
     m, k = coo.shape
@@ -184,12 +185,15 @@ def autotune(
 
     best: Optional[TuneResult] = None
     for cand in cands:
-        packed = pack(coo, cand.config)
-        plan = SpmmPlan(packed, n, backend=backend)
-        secs = time_chained(
-            lambda c: plan(b, 1.0, 0.5, c), c0, rp_time=rp_time, warmup=1
-        )
+        try:
+            packed = pack(coo, cand.config)
+            plan = SpmmPlan(packed, n, backend=backend)
+            secs = time_repeat(plan, b, 1.0, 0.5, c0, times=rp_time)
+        except Exception:  # candidate failed to compile/run — skip it
+            continue
         cand.measured_ms = secs * 1e3
         if best is None or cand.measured_ms < best.measured_ms:
             best = cand
+    if best is None:
+        raise RuntimeError("no autotune candidate ran successfully")
     return best
