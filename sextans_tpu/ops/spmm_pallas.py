@@ -103,10 +103,13 @@ def _kernel(
             do_block(t * per_chunk + u, vblk[:, u * bk : (u + 1) * bk], u % n_acc)
         return 0
 
-    # Mosaic supports only unroll=1 or full unroll; full unroll of the chunk
-    # loop measured ~12% faster at 256 unrolled blocks (nasa4704, bk=8) but
-    # 2x SLOWER at 512 unrolled blocks (cant-like, bk=4) — cap by block count.
-    full_unroll = chunk_unroll != 1 and num_chunks * per_chunk <= 256
+    # Mosaic supports only unroll=1 or full unroll. Measured on v5e: full
+    # unroll is +12% at bk=8 (256 blocks, nasa4704) but catastrophically slow
+    # for small bk (bk=4: 2-20x regressions on shipsec/nlpkkt/cant classes) —
+    # likely a scheduling/register-pressure pathology with 32-block chunks.
+    full_unroll = (
+        chunk_unroll != 1 and bk >= 8 and num_chunks * per_chunk <= 256
+    )
     jax.lax.fori_loop(
         0, num_chunks, chunk_body, 0,
         unroll=(num_chunks if full_unroll else 1),
