@@ -68,6 +68,10 @@ def time_repeat(plan, b, alpha, beta, c0, times: int = 10) -> float:
     w1 = min(wall(times, alpha + eps), wall(times, alpha + 2 * eps))
     w2 = min(wall(2 * times, alpha + 3 * eps), wall(2 * times, alpha + 4 * eps))
     dt = (w2 - w1) / times
-    if dt <= 0:  # noise swamped the differential; fall back to the 2T wall
-        dt = w2 / (2 * times)
+    avg2 = w2 / (2 * times)  # conservative: includes fixed costs, amortized
+    if dt < 0.25 * avg2:
+        # The two walls agree within noise — the differential is meaningless
+        # (can report absurd near-zero marginals). Use the amortized wall,
+        # which can only overestimate.
+        dt = avg2
     return dt
