@@ -33,7 +33,7 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -98,6 +98,10 @@ class PackedSpMatrix:
     group_mtile: np.ndarray
     group_kwin: np.ndarray
     stats: PackStats
+    # Optional column permutation (degree sort): A was packed with columns
+    # reordered as A[:, col_perm]; executors must feed B[col_perm] to the
+    # kernel. Improves block fill on skewed (power-law) matrices.
+    col_perm: Optional[np.ndarray] = None
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -147,6 +151,11 @@ class PackedSpMatrix:
                 dtype=np.int64,
             ),
             stats=np.array(dataclasses.astuple(self.stats), dtype=np.int64),
+            col_perm=(
+                self.col_perm
+                if self.col_perm is not None
+                else np.zeros(0, dtype=np.int32)
+            ),
         )
 
     @staticmethod
@@ -174,25 +183,45 @@ class PackedSpMatrix:
             group_mtile=z["group_mtile"],
             group_kwin=z["group_kwin"],
             stats=stats,
+            col_perm=(
+                z["col_perm"] if "col_perm" in z and z["col_perm"].size else None
+            ),
         )
 
 
 def pack(
-    coo: COOMatrix, config: SpmmConfig = SpmmConfig(), impl: str = "auto"
+    coo: COOMatrix,
+    config: SpmmConfig = SpmmConfig(),
+    impl: str = "auto",
+    reorder_cols: bool = False,
 ) -> PackedSpMatrix:
     """Pack a COO matrix into the tiled block format.
 
     ``impl``: "native" (C++ runtime, ~20x faster on large matrices),
     "numpy" (pure-Python reference), or "auto" (native when available).
     Both implementations produce bit-identical arrays.
+
+    ``reorder_cols``: permute columns by descending degree before packing
+    (clusters hub columns of power-law matrices into dense blocks). The
+    permutation is recorded in ``col_perm``; executors apply ``B[col_perm]``
+    on device, so results are unchanged.
     """
     m, k = coo.shape
+    col_perm = None
+    if reorder_cols and coo.nnz > 0:
+        deg = np.bincount(coo.cols, minlength=k)
+        col_perm = np.argsort(-deg, kind="stable").astype(np.int32)
+        rank = np.empty(k, dtype=np.int32)
+        rank[col_perm] = np.arange(k, dtype=np.int32)
+        coo = COOMatrix(coo.shape, coo.rows, rank[coo.cols], coo.vals)
     if impl == "auto":
         from sextans_tpu.runtime import native
 
         impl = "native" if coo.nnz > 0 and native.available() else "numpy"
     if impl == "native":
-        return _pack_native(coo, config)
+        packed = _pack_native(coo, config)
+        packed.col_perm = col_perm
+        return packed
     if impl != "numpy":
         raise ValueError(f"unknown pack impl {impl!r}")
     tm, wk, bk, G = (
@@ -320,6 +349,7 @@ def pack(
         empty_mtiles=len(missing),
     )
     return PackedSpMatrix(
+        col_perm=col_perm,
         m=m,
         k=k,
         nnz=nnz,

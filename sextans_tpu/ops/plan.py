@@ -82,8 +82,16 @@ class SpmmPlan:
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
+        col_perm = (
+            jnp.asarray(packed.col_perm) if packed.col_perm is not None else None
+        )
+
+        def _permute_b(b):
+            # degree-sorted pack: feed the kernel B rows in packed column order
+            return b if col_perm is None else b[col_perm]
+
         def _step(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
-            b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
+            b_p = jnp.pad(_permute_b(b), ((0, k_padded - k), (0, n_padded - n_)))
             c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
             out = run(
                 vals, qrow, bcol, gmt, gkw, b_p, c_p, alpha, beta,
@@ -99,7 +107,7 @@ class SpmmPlan:
         if backend in ("pallas", "pallas_interpret"):
 
             def _step_noc(vals, qrow, bcol, gmt, gkw, b, alpha):
-                b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
+                b_p = jnp.pad(_permute_b(b), ((0, k_padded - k), (0, n_padded - n_)))
                 c_shape = jnp.zeros((m_padded, n_padded), jnp.float32)
                 out = run(
                     vals, qrow, bcol, gmt, gkw, b_p, c_shape, alpha,
@@ -111,7 +119,7 @@ class SpmmPlan:
 
         def _repeat(times):
             def rep(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
-                b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
+                b_p = jnp.pad(_permute_b(b), ((0, k_padded - k), (0, n_padded - n_)))
                 c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
 
                 def body(_, c_acc):

@@ -91,6 +91,7 @@ def choose_config(
     block_ks: Sequence[int] = (1, 2, 4, 8),
     tile_ms: Sequence[int] = (512, 1024),
     tile_ns: Sequence[int] = (256, 512),
+    window_ks: Sequence[int] = (2048, 4096, 8192),
     top: int = 1,
     n: int = 512,
 ) -> List[TuneResult]:
@@ -114,11 +115,11 @@ def choose_config(
     m = max(coo.shape[0], 1)
     counts = block_counts(coo, block_ks)
     results = []
-    for tm in tile_ms:
-        njobs = job_counts(coo, tm, base.window_k)
+    for tm, wk in [(a, b) for a in tile_ms for b in window_ks]:
+        njobs = job_counts(coo, tm, wk)
         for bk, nb in counts.items():
             chunk = max(128 // bk, 1)
-            cfg0 = base.with_(block_k=bk, tile_m=tm)
+            cfg0 = base.with_(block_k=bk, tile_m=tm, window_k=wk)
             # Size groups near the average job so per-job group padding stays
             # small (groups beyond 256 blocks lose the kernel's full unroll
             # but amortize grid steps — both regimes measured competitive).

@@ -206,3 +206,47 @@ def test_native_pack_duplicates_and_empty_tiles():
     np.testing.assert_array_equal(a.vals, b.vals)
     np.testing.assert_array_equal(a.group_mtile, b.group_mtile)
     assert b.stats.empty_mtiles == 3
+
+
+def test_reorder_cols_correctness_and_roundtrip(tmp_path):
+    """Degree-sorted column reorder must preserve results (B permuted on
+    device via col_perm) and survive save/load."""
+    from sextans_tpu.format.csr import CSRMatrix
+    from sextans_tpu.ops.golden import golden_spmm_exact
+    from sextans_tpu.ops.plan import SpmmPlan
+
+    cfg = SpmmConfig(tile_m=32, window_k=64, block_k=8, group_blocks=16,
+                     tile_n=128)
+    coo = COOMatrix.random(120, 90, 900, seed=77)
+    p = pack(coo, cfg, reorder_cols=True)
+    assert p.col_perm is not None and len(p.col_perm) == 90
+    assert sorted(p.col_perm.tolist()) == list(range(90))
+
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal((90, 16)).astype(np.float32)
+    c = rng.standard_normal((120, 16)).astype(np.float32)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 1.5, -0.5, c)
+    got = np.asarray(SpmmPlan(p, 16, backend="xla")(b, 1.5, -0.5, c))
+    assert np.max(np.abs(got - want)) < 1e-4
+
+    f = tmp_path / "re.npz"
+    p.save(f)
+    q = PackedSpMatrix.load(f)
+    np.testing.assert_array_equal(p.col_perm, q.col_perm)
+    got2 = np.asarray(SpmmPlan(q, 16, backend="xla")(b, 1.5, -0.5, c))
+    np.testing.assert_allclose(got, got2)
+
+
+def test_reorder_cols_reduces_jobs_on_skewed():
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+    from benchmarks.matrices import powerlaw_like
+
+    coo = powerlaw_like(3000, avg_degree=8, seed=3)
+    cfg = SpmmConfig(tile_m=512, window_k=2048, block_k=8, group_blocks=256)
+    plain = pack(coo, cfg)
+    reord = pack(coo, cfg, reorder_cols=True)
+    assert reord.stats.jobs <= plain.stats.jobs
+    assert reord.stats.blocks <= plain.stats.blocks
