@@ -26,7 +26,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True):
+def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
+            reorder_cols=False):
     import jax.numpy as jnp
 
     from sextans_tpu.format.csr import CSRMatrix
@@ -46,7 +47,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True):
 
     cfg = choose_config(coo)[0].config if use_autotune else SpmmConfig()
     t0 = time.perf_counter()
-    packed = pack(coo, cfg)
+    packed = pack(coo, cfg, reorder_cols=reorder_cols)
     t_pack = time.perf_counter() - t0
 
     plan = SpmmPlan(packed, n, backend=backend)
@@ -89,6 +90,7 @@ def main(argv=None):
     ap.add_argument("--n", type=int, nargs="+", default=[16, 128, 512])
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--autotune", action="store_true")
+    ap.add_argument("--reorder-cols", action="store_true")
     ap.add_argument("--rp-time", type=int, default=10)
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--only", default=None, help="substring filter on matrix name")
@@ -113,6 +115,7 @@ def main(argv=None):
             rec = run_one(
                 name, coo, n, args.backend, args.autotune,
                 rp_time=args.rp_time, verify_gate=not args.no_verify,
+                reorder_cols=args.reorder_cols,
             )
             results.append(rec)
             log(f"  N={n}: {rec.get('gflops', '-')} GFLOPS "

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip-cpu", action="store_true", help="skip the golden CPU run")
     p.add_argument("--save-packed", default=None, help="save packed A to .npz")
     p.add_argument(
+        "--reorder-cols",
+        action="store_true",
+        help="degree-sort columns before packing (helps power-law matrices)",
+    )
+    p.add_argument(
         "--autotune",
         action="store_true",
         help="pick block_k/group size analytically from the sparsity pattern",
@@ -101,7 +106,7 @@ def main(argv=None) -> int:
 
     print("Packing sparse A for TPU ...", flush=True)
     t0 = time.perf_counter()
-    packed = pack(coo, cfg)
+    packed = pack(coo, cfg, reorder_cols=args.reorder_cols)
     t_pack = time.perf_counter() - t0
     s = packed.stats
     print(
