@@ -45,7 +45,14 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     b = rng.standard_normal((k, n)).astype(np.float32)
     c = rng.standard_normal((m, n)).astype(np.float32)
 
-    cfg = choose_config(coo)[0].config if use_autotune else SpmmConfig()
+    coo_for_tuning = coo
+    if reorder_cols:
+        from sextans_tpu.format.pack import reorder_columns
+
+        coo_for_tuning, _ = reorder_columns(coo)
+    cfg = (
+        choose_config(coo_for_tuning)[0].config if use_autotune else SpmmConfig()
+    )
     t0 = time.perf_counter()
     packed = pack(coo, cfg, reorder_cols=reorder_cols)
     t_pack = time.perf_counter() - t0

@@ -40,7 +40,7 @@ import numpy as np
 from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.utils.config import SpmmConfig, cdiv
 
-__all__ = ["PackedSpMatrix", "PackStats", "pack"]
+__all__ = ["PackedSpMatrix", "PackStats", "pack", "reorder_columns"]
 
 
 @dataclass(frozen=True)
@@ -189,6 +189,22 @@ class PackedSpMatrix:
         )
 
 
+def reorder_columns(coo: COOMatrix):
+    """Degree-sort the columns of ``coo`` (descending). Returns
+    ``(reordered_coo, col_perm)`` with ``reordered[:, j] == coo[:, col_perm[j]]``.
+    Clusters the hub columns of power-law matrices into dense blocks; measured
+    3x+ kernel speedup on webgraph-class inputs (with block_k=2, large tiles)."""
+    k = coo.shape[1]
+    deg = np.bincount(coo.cols, minlength=k)
+    col_perm = np.argsort(-deg, kind="stable").astype(np.int32)
+    rank = np.empty(k, dtype=np.int32)
+    rank[col_perm] = np.arange(k, dtype=np.int32)
+    return (
+        COOMatrix(coo.shape, coo.rows, rank[coo.cols], coo.vals),
+        col_perm,
+    )
+
+
 def pack(
     coo: COOMatrix,
     config: SpmmConfig = SpmmConfig(),
@@ -209,11 +225,7 @@ def pack(
     m, k = coo.shape
     col_perm = None
     if reorder_cols and coo.nnz > 0:
-        deg = np.bincount(coo.cols, minlength=k)
-        col_perm = np.argsort(-deg, kind="stable").astype(np.int32)
-        rank = np.empty(k, dtype=np.int32)
-        rank[col_perm] = np.arange(k, dtype=np.int32)
-        coo = COOMatrix(coo.shape, coo.rows, rank[coo.cols], coo.vals)
+        coo, col_perm = reorder_columns(coo)
     if impl == "auto":
         from sextans_tpu.runtime import native
 
