@@ -120,12 +120,12 @@ def choose_config(
         for bk, nb in counts.items():
             chunk = max(128 // bk, 1)
             cfg0 = base.with_(block_k=bk, tile_m=tm, window_k=wk)
-            # Size groups near the average job so per-job group padding stays
-            # small (groups beyond 256 blocks lose the kernel's full unroll
-            # but amortize grid steps — both regimes measured competitive).
+            # Size groups near the average job, capped at 16 chunks (= 2048
+            # value lanes): in-session A/B on v5e showed gb past that cliff
+            # (cant-like bk=4: 415 GFLOPS at 16 chunks vs 89 at 32).
             avg_job = max(1, nb // max(njobs, 1))
             gb = chunk
-            while gb * 2 <= min(2 * avg_job, max(1024, chunk)):
+            while gb * 2 <= min(2 * avg_job, 16 * chunk):
                 gb *= 2
             cfg = cfg0.with_(group_blocks=gb)
             padded_blocks = nb + njobs * gb // 2
