@@ -139,3 +139,31 @@ def test_profiling_trace_smoke(tmp_path):
             _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
     # trace directory should have been created and populated
     assert any((tmp_path / "tr").rglob("*"))
+
+
+def test_time_repeat_rejects_noise_dominated_differential():
+    """If wall(2T) ~ wall(T) (noise), time_repeat must fall back to the
+    amortized wall instead of reporting an absurd near-zero marginal."""
+    from sextans_tpu.utils.timing import time_repeat
+
+    class FakePlan:
+        def repeat(self, b, alpha, beta, c, times):
+            time.sleep(0.01)  # fixed wall regardless of times → pure noise
+            return np.zeros((2, 2), dtype=np.float32)
+
+    secs = time_repeat(FakePlan(), None, 1.0, 0.0, None, times=10)
+    # amortized fallback: ~0.01 / 20; never the near-zero differential
+    assert secs >= 0.01 / 25
+
+
+def test_time_repeat_uses_differential_when_clean():
+    from sextans_tpu.utils.timing import time_repeat
+
+    class FakePlan:
+        def repeat(self, b, alpha, beta, c, times):
+            time.sleep(0.002 + 0.001 * times)  # fixed + linear component
+            return np.zeros((2, 2), dtype=np.float32)
+
+    secs = time_repeat(FakePlan(), None, 1.0, 0.0, None, times=10)
+    # true marginal is 1ms/iter; fixed 2ms must be cancelled
+    assert 0.0007 < secs < 0.0016, secs
