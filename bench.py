@@ -5,9 +5,10 @@ Prints ONE JSON line:
 
 Baseline = the reference U280 bitstream's structural peak, ~259 FP32 GFLOP/s
 (BASELINE.md: 64 nnz/cycle x 16 FLOP x 253 MHz). GFLOPS formula matches the
-reference host: 2*N*(nnz+M)/t (src/sextans-host.cpp:255-259). Timing chains
-kernel invocations through a data dependency (the rp_time analog,
-src/sextans.cpp:54-60) so the async runtime cannot overlap repeats.
+reference host: 2*N*(nnz+M)/t (src/sextans-host.cpp:255-259). Timing uses
+the in-device repeat loop (the rp_time analog, src/sextans.cpp:54-60) with
+differential fetch-based measurement — see docs/BENCHMARKING.md for the
+measurement traps this defeats.
 
 Diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
