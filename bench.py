@@ -46,6 +46,9 @@ def load_workload():
 def main():
     import jax
     import jax.numpy as jnp
+    from sextans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from sextans_tpu.format.csr import CSRMatrix
     from sextans_tpu.ops.golden import golden_spmm

@@ -108,6 +108,9 @@ def main(argv=None):
 
     import jax
 
+    from sextans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     log(f"devices: {jax.devices()}")
     results = []
     for name, gen in suite(args.scale).items():

@@ -129,6 +129,9 @@ def main(argv=None) -> int:
 
     print("launch kernel", flush=True)
     import jax
+    from sextans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from sextans_tpu.ops.spmm import plan as make_plan
     from sextans_tpu.utils.timing import time_repeat
