@@ -29,7 +29,7 @@ def main():
     print(f"A: {m} x {k}, nnz={a.nnz}")
 
     # 1. pick a config for this sparsity pattern and pack (host, once)
-    cfg = sx.SpmmConfig()  # or: sx.choose-config via sextans_tpu.utils.autotune
+    cfg = sx.SpmmConfig()  # or: sextans_tpu.utils.autotune.choose_config(a)[0].config
     t0 = time.perf_counter()
     packed = sx.pack(a, cfg)
     print(
