@@ -99,9 +99,10 @@ def main(argv=None) -> int:
     if args.autotune:
         from sextans_tpu.utils.autotune import choose_config
 
-        cfg = choose_config(coo, cfg)[0].config
+        cfg = choose_config(coo, cfg, n=n)[0].config
         print(
-            f"autotune: block_k={cfg.block_k} group_blocks={cfg.group_blocks}"
+            f"autotune: block_k={cfg.block_k} group_blocks={cfg.group_blocks} "
+            f"tile_n={cfg.tile_n}"
         )
 
     print("Packing sparse A for TPU ...", flush=True)

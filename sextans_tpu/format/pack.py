@@ -147,6 +147,10 @@ class PackedSpMatrix:
                     self.config.block_k,
                     self.config.group_blocks,
                     int(self.config.interleave),
+                    # full round-trip of the kernel knobs (-1 = tile_n None)
+                    -1 if self.config.tile_n is None else self.config.tile_n,
+                    self.config.n_acc,
+                    self.config.chunk_unroll,
                 ],
                 dtype=np.int64,
             ),
@@ -162,12 +166,20 @@ class PackedSpMatrix:
     def load(path) -> "PackedSpMatrix":
         z = np.load(Path(path))
         cfg_arr = z["config"]
+        extra = {}
+        if cfg_arr.shape[0] > 5:  # formats saved since round 2
+            extra = dict(
+                tile_n=None if int(cfg_arr[5]) < 0 else int(cfg_arr[5]),
+                n_acc=int(cfg_arr[6]),
+                chunk_unroll=int(cfg_arr[7]),
+            )
         cfg = SpmmConfig(
             tile_m=int(cfg_arr[0]),
             window_k=int(cfg_arr[1]),
             block_k=int(cfg_arr[2]),
             group_blocks=int(cfg_arr[3]),
             interleave=bool(cfg_arr[4]),
+            **extra,
         )
         stats = PackStats(*(int(x) for x in z["stats"]))
         return PackedSpMatrix(

@@ -64,14 +64,18 @@ def spmm_xla_padded(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (G, 8, n_padded)
-        # Scatter within the M-tile as a one-hot matmul (0/1 entries are
-        # exact in any precision) — dense MXU work instead of scatter-add.
+        # Scatter within the M-tile as a one-hot matmul — dense MXU work
+        # instead of scatter-add. The one-hot operand is exact in any
+        # precision, but ``contrib`` is real f32 data: HIGHEST keeps the TPU
+        # from rounding it through bf16 passes (same budget argument as the
+        # first einsum; each output element is 1.0 * contrib + exact zeros).
         onehot = (stripe_iota[:, None] == q_g[None, :]).astype(jnp.float32)
         tile = jnp.einsum(
             "tg,gin->tin",
             onehot,
             contrib,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (tmq, 8, n_padded)
         # Accumulate into the group's M-tile with a dynamic slice read+write.
         start = (mt_g * tmq, 0, 0)

@@ -103,6 +103,8 @@ class ShardedSpmmPlan:
                     **kernel_kwargs,
                     tile_n=tile_n,
                     interpret=(backend == "pallas_interpret"),
+                    n_acc=cfg.n_acc,
+                    chunk_unroll=cfg.chunk_unroll,
                 )
             return out[None]
 
@@ -270,6 +272,8 @@ def spmm_sharded_k(
                 **kernel_kwargs,
                 tile_n=tile_n,
                 interpret=(backend == "pallas_interpret"),
+                n_acc=cfg.n_acc,
+                chunk_unroll=cfg.chunk_unroll,
             )
         # sum partials over ICI, scattering C row slabs to their owners
         slab = jax.lax.psum_scatter(

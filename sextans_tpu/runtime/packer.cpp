@@ -118,10 +118,14 @@ void* sx_pack_plan(int64_t nnz, const int32_t* rows, const int32_t* cols,
     p->order[i] = i;
   }
   if (nnz >= (int64_t{1} << 20)) {
+    // LSD radix sort is stable by construction.
     radix_sort_by_key(p->order, key, max_key);
   } else {
-    std::sort(p->order.begin(), p->order.end(),
-              [&key](int64_t a, int64_t b) { return key[a] < key[b]; });
+    // stable_sort so duplicate COO coordinates are summed into their block
+    // slot in input order — bit-identical to NumPy's stable lexsort +
+    // np.add.at on every path.
+    std::stable_sort(p->order.begin(), p->order.end(),
+                     [&key](int64_t a, int64_t b) { return key[a] < key[b]; });
   }
   p->keys.resize(nnz);
   for (int64_t i = 0; i < nnz; ++i) p->keys[i] = key[p->order[i]];

@@ -21,7 +21,11 @@ low fill) against per-block overhead (small bk, many blocks).
 
 from __future__ import annotations
 
+import dataclasses
+import json
+import logging
 from dataclasses import dataclass
+from pathlib import Path
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -29,7 +33,15 @@ import numpy as np
 from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.utils.config import SpmmConfig, cdiv
 
-__all__ = ["choose_config", "autotune", "block_counts", "TuneResult"]
+__all__ = [
+    "choose_config",
+    "autotune",
+    "block_counts",
+    "TuneResult",
+    "ConfigStore",
+]
+
+logger = logging.getLogger("sextans_tpu.autotune")
 
 # Cost-model constants, calibrated against v5e measurements (docs/BENCHMARKING.md):
 # scalar/addressing cycles per block visit (a visit = block x N-panel)
@@ -178,23 +190,70 @@ def autotune(
     from sextans_tpu.ops.plan import SpmmPlan
     from sextans_tpu.utils.timing import time_repeat
 
-    cands = choose_config(coo, base, block_ks, top=candidates)
+    cands = choose_config(coo, base, block_ks, top=candidates, n=n)
     m, k = coo.shape
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
     c0 = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
 
     best: Optional[TuneResult] = None
+    errors = []
     for cand in cands:
         try:
             packed = pack(coo, cand.config)
             plan = SpmmPlan(packed, n, backend=backend)
             secs = time_repeat(plan, b, 1.0, 0.5, c0, times=rp_time)
-        except Exception:  # candidate failed to compile/run — skip it
+        except Exception as e:  # candidate failed to compile/run — skip it,
+            # but never silently (a flaky session would otherwise degrade the
+            # chosen config with no trace).
+            logger.warning("autotune candidate %s failed: %r", cand.config, e)
+            errors.append((cand.config, repr(e)))
             continue
         cand.measured_ms = secs * 1e3
+        logger.info("autotune candidate %s: %.3f ms", cand.config, cand.measured_ms)
         if best is None or cand.measured_ms < best.measured_ms:
             best = cand
     if best is None:
-        raise RuntimeError("no autotune candidate ran successfully")
+        raise RuntimeError(
+            f"no autotune candidate ran successfully; failures: {errors}"
+        )
     return best
+
+
+class ConfigStore:
+    """Persisted per-workload tuned configs — the analog of the reference's
+    prebuilt-bitstream library (TAPAB env, README.md:46-48): tune once,
+    reuse the winning configuration across sessions.
+
+    Keys are free-form strings (suite rows use ``"{matrix}|n={n}"``). Values
+    carry the full :class:`SpmmConfig` plus optional metadata (measured
+    GFLOPS, session id) so published benchmark rows stay reproducible.
+    """
+
+    def __init__(self, path):
+        self.path = Path(path)
+        self._data = {}
+        if self.path.exists():
+            try:
+                self._data = json.loads(self.path.read_text())
+            except (json.JSONDecodeError, OSError) as e:
+                logger.warning("config store %s unreadable: %r", self.path, e)
+
+    def get(self, key: str) -> Optional[SpmmConfig]:
+        rec = self._data.get(key)
+        if rec is None:
+            return None
+        kw = dict(rec["config"])
+        return SpmmConfig(**kw)
+
+    def meta(self, key: str) -> Optional[dict]:
+        rec = self._data.get(key)
+        return None if rec is None else rec.get("meta", {})
+
+    def put(self, key: str, config: SpmmConfig, **meta) -> None:
+        self._data[key] = {
+            "config": dataclasses.asdict(config),
+            "meta": meta,
+        }
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.path.write_text(json.dumps(self._data, indent=1, sort_keys=True))

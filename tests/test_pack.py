@@ -139,6 +139,25 @@ def test_save_load_roundtrip(tmp_path):
     assert q.stats == p.stats
 
 
+def test_save_load_roundtrips_tuned_kernel_knobs(tmp_path):
+    """An autotuned config (tile_n/n_acc/chunk_unroll) must survive
+    --save-packed: a loaded plan must not silently fall back to defaults."""
+    cfg = SpmmConfig(
+        tile_m=64, window_k=128, block_k=4, group_blocks=32,
+        tile_n=256, n_acc=2, chunk_unroll=1,
+    )
+    coo = COOMatrix.random(90, 110, 700, seed=13)
+    p = pack(coo, cfg)
+    f = tmp_path / "packed.npz"
+    p.save(f)
+    q = PackedSpMatrix.load(f)
+    assert q.config == cfg
+    # tile_n=None sentinel round-trips too
+    p2 = pack(coo, cfg.with_(tile_n=None))
+    p2.save(f)
+    assert PackedSpMatrix.load(f).config.tile_n is None
+
+
 def test_interleave_spreads_stripes():
     """Interleaved schedule should avoid long same-stripe runs when possible."""
     cfg = SpmmConfig(tile_m=64, window_k=4096, block_k=8, group_blocks=64)
