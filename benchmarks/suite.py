@@ -2,11 +2,18 @@
 
 The measurement protocol mirrors the reference host (src/sextans-host.cpp):
 GFLOPS = 2*N*(nnz+M)/t with the kernel repeated through a data-dependency
-chain (the rp_time analog), after a golden-model verification gate.
+chain (the rp_time analog), after a golden-model verification gate. Each row
+additionally reports max-abs error against the float64 oracle
+(golden_spmm_exact) — the BASELINE.md 1e-6 north-star gate.
+
+Provenance: every run embeds a session header (device, timestamp, nasa4704
+canary time) so published rows are traceable to one healthy session — the
+round-2 benchmark-hygiene protocol (one canonical results_r2.json).
 
 Usage:
     python benchmarks/suite.py [--scale small|full] [--n 16 128 512]
-        [--backend auto|pallas|xla] [--autotune] [--out results.json]
+        [--backend auto|pallas|xla|mxu] [--autotune] [--out results.json]
+        [--tuned-configs benchmarks/tuned_configs.json]
 """
 
 from __future__ import annotations
@@ -15,6 +22,7 @@ import argparse
 import json
 import sys
 import time
+from datetime import datetime, timezone
 from pathlib import Path
 
 import numpy as np
@@ -26,15 +34,23 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _pack_for(coo, cfg, fmt, reorder_cols):
+    from sextans_tpu.format.pack import pack
+    from sextans_tpu.format.pack_mxu import pack_mxu
+
+    if fmt == "mxu":
+        return pack_mxu(coo, cfg, reorder_cols=reorder_cols)
+    return pack(coo, cfg, reorder_cols=reorder_cols)
+
+
 def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
-            reorder_cols=False):
+            reorder_cols=False, store=None):
     import jax.numpy as jnp
 
     from sextans_tpu.format.csr import CSRMatrix
-    from sextans_tpu.format.pack import pack
-    from sextans_tpu.ops.golden import golden_spmm
+    from sextans_tpu.ops.golden import golden_spmm, golden_spmm_exact
     from sextans_tpu.ops.plan import SpmmPlan
-    from sextans_tpu.utils.autotune import choose_config
+    from sextans_tpu.utils.autotune import choose_backend
     from sextans_tpu.utils.config import SpmmConfig
     from sextans_tpu.utils.timing import time_repeat
     from sextans_tpu.utils.verify import gflops, verify
@@ -50,14 +66,29 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         from sextans_tpu.format.pack import reorder_columns
 
         coo_for_tuning, _ = reorder_columns(coo)
-    cfg = (
-        choose_config(coo_for_tuning)[0].config if use_autotune else SpmmConfig()
-    )
+
+    key = f"{name}|n={n}"
+    fmt = "vpu"
+    cfg = SpmmConfig()
+    if backend == "mxu":
+        fmt = "mxu"
+        cfg = SpmmConfig(tile_m=1024, window_k=4096, block_k=128,
+                         group_blocks=8, chunk_unroll=2)
+    stored = store.get(key) if store is not None else None
+    if stored is not None:
+        cfg = stored
+        fmt = (store.meta(key) or {}).get("fmt", fmt)
+        log(f"  tuned-config store hit: {fmt} {cfg}")
+    elif use_autotune:
+        best = choose_backend(coo_for_tuning, n=n)[0]
+        cfg, fmt = best.config, best.fmt
+        log(f"  autotune: fmt={fmt} {cfg}")
+
     t0 = time.perf_counter()
-    packed = pack(coo, cfg, reorder_cols=reorder_cols)
+    packed = _pack_for(coo, cfg, fmt, reorder_cols)
     t_pack = time.perf_counter() - t0
 
-    plan = SpmmPlan(packed, n, backend=backend)
+    plan = SpmmPlan(packed, n, backend=backend if backend != "mxu" else "auto")
     b_dev = jnp.asarray(b)
     c_dev = jnp.asarray(c)
 
@@ -67,6 +98,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         "k": k,
         "nnz": coo.nnz,
         "n": n,
+        "fmt": fmt,
         "backend": plan.backend,
         "block_k": cfg.block_k,
         "tile_m": cfg.tile_m,
@@ -77,10 +109,15 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
 
     if verify_gate:
         got = np.asarray(plan(b_dev, alpha, beta, c_dev))
-        ref = golden_spmm(CSRMatrix.from_coo(coo), b, alpha, beta, c)
+        csr = CSRMatrix.from_coo(coo)
+        ref = golden_spmm(csr, b, alpha, beta, c)
         res = verify(ref, got)
         rec["verify"] = "pass" if res.passed else "FAIL"
         rec["max_abs_err"] = float(res.max_abs_err)
+        # 1e-6 max-abs north-star gate vs the float64 oracle (BASELINE.md)
+        exact = golden_spmm_exact(csr, b, alpha, beta, c)
+        rec["max_abs_vs_f64"] = float(np.abs(got - exact).max())
+        rec["meets_1e6_gate"] = bool(rec["max_abs_vs_f64"] <= 1e-6)
         if not res.passed:
             log(f"  !! verification failed: {res}")
             return rec
@@ -88,7 +125,34 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=rp_time)
     rec["ms"] = round(secs * 1e3, 3)
     rec["gflops"] = round(gflops(coo.nnz, m, n, secs), 2)
+    if store is not None and stored is None:
+        store.put(key, cfg, fmt=fmt, gflops=rec["gflops"],
+                  backend=plan.backend)
     return rec
+
+
+def nasa_canary(rp_time=256):
+    """Session-health canary: nasa4704 N=512 with the fixed round-1 VPU
+    config. Healthy v5e sessions measure ~0.13-0.26 ms; a slow canary means
+    every number in the session is understated."""
+    import jax.numpy as jnp
+
+    from benchmarks.matrices import suite as suite_gens
+    from sextans_tpu.format.pack import pack
+    from sextans_tpu.ops.plan import SpmmPlan
+    from sextans_tpu.utils.config import SpmmConfig
+    from sextans_tpu.utils.timing import time_repeat
+
+    gens = suite_gens("small")
+    if "nasa4704" not in gens:
+        return None
+    coo = gens["nasa4704"]()
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((coo.shape[1], 512)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((coo.shape[0], 512)).astype(np.float32))
+    plan = SpmmPlan(pack(coo, SpmmConfig()), 512)
+    secs = time_repeat(plan, b, 0.85, -2.06, c, times=rp_time)
+    return round(secs * 1e3, 3)
 
 
 def main(argv=None):
@@ -100,8 +164,14 @@ def main(argv=None):
     ap.add_argument("--reorder-cols", action="store_true")
     ap.add_argument("--rp-time", type=int, default=10)
     ap.add_argument("--no-verify", action="store_true")
+    ap.add_argument("--no-canary", action="store_true")
     ap.add_argument("--only", default=None, help="substring filter on matrix name")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--tuned-configs",
+        default=None,
+        help="JSON config store: reuse stored configs, persist new winners",
+    )
     args = ap.parse_args(argv)
 
     from benchmarks.matrices import suite
@@ -112,6 +182,23 @@ def main(argv=None):
 
     enable_compilation_cache()
     log(f"devices: {jax.devices()}")
+
+    store = None
+    if args.tuned_configs:
+        from sextans_tpu.utils.autotune import ConfigStore
+
+        store = ConfigStore(args.tuned_configs)
+
+    session = {
+        "timestamp": datetime.now(timezone.utc).isoformat(),
+        "device": str(jax.devices()[0]),
+        "platform": jax.devices()[0].platform,
+    }
+    if not args.no_canary and jax.devices()[0].platform == "tpu":
+        session["nasa_canary_ms"] = nasa_canary()
+        log(f"session canary (nasa4704 N=512 vpu-default): "
+            f"{session['nasa_canary_ms']} ms")
+
     results = []
     for name, gen in suite(args.scale).items():
         if args.only and args.only not in name:
@@ -122,20 +209,27 @@ def main(argv=None):
         log(f"  generated/loaded in {time.perf_counter()-t0:.1f}s: "
             f"{coo.shape} nnz={coo.nnz}")
         for n in args.n:
-            rec = run_one(
-                name, coo, n, args.backend, args.autotune,
-                rp_time=args.rp_time, verify_gate=not args.no_verify,
-                reorder_cols=args.reorder_cols,
-            )
+            try:
+                rec = run_one(
+                    name, coo, n, args.backend, args.autotune,
+                    rp_time=args.rp_time, verify_gate=not args.no_verify,
+                    reorder_cols=args.reorder_cols, store=store,
+                )
+            except Exception as e:
+                log(f"  !! {name} N={n} failed: {e!r}")
+                rec = {"matrix": name, "n": n, "error": repr(e)}
             results.append(rec)
             log(f"  N={n}: {rec.get('gflops', '-')} GFLOPS "
-                f"({rec.get('ms', '-')} ms, bk={rec['block_k']}, "
-                f"fill={rec['block_fill']}, verify={rec.get('verify', 'skipped')})")
+                f"({rec.get('ms', '-')} ms, fmt={rec.get('fmt')}, "
+                f"bk={rec.get('block_k')}, fill={rec.get('block_fill')}, "
+                f"verify={rec.get('verify', 'skipped')}, "
+                f"maxabs_f64={rec.get('max_abs_vs_f64', '-')})")
 
-    print(json.dumps(results, indent=1))
+    doc = {"session": session, "results": results}
+    print(json.dumps(doc, indent=1))
     if args.out:
-        Path(args.out).write_text(json.dumps(results, indent=1))
-    bad = [r for r in results if r.get("verify") == "FAIL"]
+        Path(args.out).write_text(json.dumps(doc, indent=1))
+    bad = [r for r in results if r.get("verify") == "FAIL" or "error" in r]
     return 1 if bad else 0
 
 

@@ -151,6 +151,7 @@ class PackedSpMatrix:
                     -1 if self.config.tile_n is None else self.config.tile_n,
                     self.config.n_acc,
                     self.config.chunk_unroll,
+                    int(self.config.precise),
                 ],
                 dtype=np.int64,
             ),
@@ -173,6 +174,8 @@ class PackedSpMatrix:
                 n_acc=int(cfg_arr[6]),
                 chunk_unroll=int(cfg_arr[7]),
             )
+            if cfg_arr.shape[0] > 8:
+                extra["precise"] = bool(cfg_arr[8])
         cfg = SpmmConfig(
             tile_m=int(cfg_arr[0]),
             window_k=int(cfg_arr[1]),
@@ -234,6 +237,7 @@ def pack(
     permutation is recorded in ``col_perm``; executors apply ``B[col_perm]``
     on device, so results are unchanged.
     """
+    config.validate_vpu()
     m, k = coo.shape
     col_perm = None
     if reorder_cols and coo.nnz > 0:

@@ -15,21 +15,28 @@ import jax
 import jax.numpy as jnp
 
 from sextans_tpu.format.pack import PackedSpMatrix
+from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
 from sextans_tpu.utils.config import round_up
 
 __all__ = ["SpmmPlan"]
 
 
 class SpmmPlan:
-    """Compiled SpMM executor for a fixed (packed A, N, backend)."""
+    """Compiled SpMM executor for a fixed (packed A, N, backend).
+
+    Accepts both packed formats: the VPU 8-row block format
+    (format/pack.py → backends "pallas"/"xla") and the MXU dense-slab format
+    (format/pack_mxu.py → backend "mxu").
+    """
 
     def __init__(
         self,
-        packed: PackedSpMatrix,
+        packed,
         n: int,
         backend: str = "auto",
         tile_n: Optional[int] = None,
     ):
+        is_mxu = isinstance(packed, PackedSpMatrixMXU)
         if backend == "auto":
             # SEXTANS_TPU_BACKEND overrides auto-detection — the analog of the
             # reference's TAPAB env var selecting the bitstream
@@ -37,7 +44,14 @@ class SpmmPlan:
             import os
 
             backend = os.environ.get("SEXTANS_TPU_BACKEND") or (
-                "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+                ("mxu" if is_mxu else "pallas")
+                if jax.devices()[0].platform == "tpu"
+                else ("mxu_interpret" if is_mxu else "xla")
+            )
+        if is_mxu != (backend in ("mxu", "mxu_interpret")):
+            raise ValueError(
+                f"backend {backend!r} does not match packed format "
+                f"{type(packed).__name__}"
             )
         self.backend = backend
         self.packed = packed
@@ -50,7 +64,7 @@ class SpmmPlan:
         # one-time device upload of the packed operand
         self._dev = (
             jnp.asarray(packed.vals),
-            jnp.asarray(packed.qrow),
+            jnp.asarray(packed.qm if is_mxu else packed.qrow),
             jnp.asarray(packed.bcol),
             jnp.asarray(packed.group_mtile),
             jnp.asarray(packed.group_kwin),
@@ -70,6 +84,15 @@ class SpmmPlan:
             from sextans_tpu.ops.spmm_xla import spmm_xla_padded as run
 
             extra = {}
+        elif backend in ("mxu", "mxu_interpret"):
+            from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded as run
+
+            extra = dict(
+                tile_n=self.tile_n,
+                interpret=(backend == "mxu_interpret"),
+                unroll=cfg.chunk_unroll,
+                precise=cfg.precise,
+            )
         elif backend in ("pallas", "pallas_interpret"):
             from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded as run
 
@@ -78,6 +101,7 @@ class SpmmPlan:
                 interpret=(backend == "pallas_interpret"),
                 n_acc=cfg.n_acc,
                 chunk_unroll=cfg.chunk_unroll,
+                precise=cfg.precise,
             )
         else:
             raise ValueError(f"unknown backend {backend!r}")
@@ -101,10 +125,10 @@ class SpmmPlan:
 
         self._jit = jax.jit(_step)
 
-        # beta == 0 / no-C fast path: the Pallas kernel drops the C_in stream
+        # beta == 0 / no-C fast path: the Pallas kernels drop the C_in stream
         # entirely (saves an M x N HBM read per call).
         self._jit_noc = None
-        if backend in ("pallas", "pallas_interpret"):
+        if backend in ("pallas", "pallas_interpret", "mxu", "mxu_interpret"):
 
             def _step_noc(vals, qrow, bcol, gmt, gkw, b, alpha):
                 b_p = jnp.pad(_permute_b(b), ((0, k_padded - k), (0, n_padded - n_)))

@@ -22,16 +22,19 @@ import jax.numpy as jnp
 from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.format.csr import CSRMatrix, CSCMatrix
 from sextans_tpu.format.pack import PackedSpMatrix, pack
+from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
 from sextans_tpu.utils.config import SpmmConfig
 
 __all__ = ["spmm", "prepare", "plan"]
 
-MatrixLike = Union[PackedSpMatrix, COOMatrix, CSRMatrix, CSCMatrix]
+MatrixLike = Union[
+    PackedSpMatrix, PackedSpMatrixMXU, COOMatrix, CSRMatrix, CSCMatrix
+]
 
 
 def prepare(a: MatrixLike, config: Optional[SpmmConfig] = None) -> PackedSpMatrix:
     """Coerce any supported sparse container into the packed block format."""
-    if isinstance(a, PackedSpMatrix):
+    if isinstance(a, (PackedSpMatrix, PackedSpMatrixMXU)):
         return a
     cfg = config or SpmmConfig()
     if isinstance(a, (CSRMatrix, CSCMatrix)):

@@ -47,13 +47,17 @@ def _kernel(
     qrow_ref,  # (1, 1, G) i32 SMEM
     bcol_ref,  # (1, 1, G) i32 SMEM
     b_ref,  # (1, window_k, tile_n) f32 VMEM
-    *rest,  # [cin_ref if with_c,] out_ref, acc_ref
+    *rest,  # [cin_ref if with_c,] out_ref, acc_ref [, comp_ref if precise]
     group_blocks: int,
     block_k: int,
     n_acc: int,
     chunk_unroll: int,
     with_c: bool = True,
+    precise: bool = False,
 ):
+    comp_ref = None
+    if precise:
+        *rest, comp_ref = rest
     if with_c:
         cin_ref, out_ref, acc_ref = rest
     else:
@@ -68,6 +72,8 @@ def _kernel(
     @pl.when(is_first)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        if precise:
+            comp_ref[...] = jnp.zeros_like(comp_ref)
 
     bk = block_k
     per_chunk = max(1, 128 // bk)  # blocks covered by one (8, 128) vals register
@@ -94,7 +100,17 @@ def _kernel(
         # chain Mosaic must otherwise assume between dynamic slices of one
         # buffer (the TPU-native echo of DEP_DIST_LOAD_STORE, src/sextans.h:12
         # — but as a throughput hint, never a correctness requirement).
-        acc_ref[a, pl.ds(off, 8), :] += contrib
+        if precise:
+            # Kahan compensated accumulation across block visits: recovers
+            # the low-order bits the plain f32 add chain drops, pushing the
+            # result to within ~1 ulp of the f64 oracle (docs/ACCURACY.md).
+            y = contrib - comp_ref[a, pl.ds(off, 8), :]
+            s_old = acc_ref[a, pl.ds(off, 8), :]
+            t = s_old + y
+            comp_ref[a, pl.ds(off, 8), :] = (t - s_old) - y
+            acc_ref[a, pl.ds(off, 8), :] = t
+        else:
+            acc_ref[a, pl.ds(off, 8), :] += contrib
 
     def chunk_body(t, _):
         base = pl.multiple_of(t * 128, 128)
@@ -119,8 +135,12 @@ def _kernel(
     def _epilogue():
         alpha = ab_ref[0]
         total = acc_ref[0]
+        if precise:
+            total = total - comp_ref[0]
         for a in range(1, n_acc):
             total = total + acc_ref[a]
+            if precise:
+                total = total - comp_ref[a]
         if with_c:
             out_ref[...] = alpha * total + ab_ref[1] * cin_ref[...]
         else:
@@ -139,6 +159,7 @@ def _kernel(
         "n_acc",
         "chunk_unroll",
         "with_c",
+        "precise",
     ),
 )
 def spmm_pallas_padded(
@@ -161,15 +182,32 @@ def spmm_pallas_padded(
     n_acc: int = 1,
     chunk_unroll: int = 1,
     with_c: bool = True,
+    precise: bool = False,
 ) -> jax.Array:
     """``with_c=False`` drops the C_in stream entirely (for beta == 0):
-    ``c_padded`` is then only used for its shape."""
+    ``c_padded`` is then only used for its shape.
+
+    ``precise=True`` enables Kahan compensated accumulation across block
+    visits (second VMEM scratch buffer, ~+3 vector ops per visit): the
+    answer lands within ~1 ulp of the float64 oracle instead of drifting
+    with the window count (docs/ACCURACY.md; the reference has no analog —
+    its FP32 add pipeline accumulates in schedule order)."""
     ngroups = vals.shape[0]
     m_padded, n_padded = c_padded.shape
     k_padded = b_padded.shape[0]
     n_kwins = k_padded // window_k
     n_panels = n_padded // tile_n
     G, bk = group_blocks, block_k
+
+    if not interpret:
+        from sextans_tpu.utils.config import check_kernel_vmem
+
+        check_kernel_vmem(
+            acc_bytes=4 * n_acc * (2 if precise else 1) * tile_m * tile_n,
+            b_window_bytes=4 * window_k * tile_n,
+            c_bytes=4 * (2 if with_c else 1) * tile_m * tile_n,
+            vals_bytes=4 * G * bk * 8,
+        )
 
     b3 = b_padded.reshape(n_kwins, window_k, n_padded)
     ab = jnp.stack([alpha, beta]).astype(jnp.float32)
@@ -206,7 +244,12 @@ def spmm_pallas_padded(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_m, tile_n), c_idx),
-        scratch_shapes=[pltpu.VMEM((n_acc, tile_m, tile_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_acc, tile_m, tile_n), jnp.float32)]
+        + (
+            [pltpu.VMEM((n_acc, tile_m, tile_n), jnp.float32)]
+            if precise
+            else []
+        ),
     )
 
     kernel = functools.partial(
@@ -216,6 +259,7 @@ def spmm_pallas_padded(
         n_acc=n_acc,
         chunk_unroll=chunk_unroll,
         with_c=with_c,
+        precise=precise,
     )
 
     flops_per_group = G * 8 * bk * 2 * tile_n

@@ -35,8 +35,11 @@ from sextans_tpu.utils.config import SpmmConfig, cdiv
 
 __all__ = [
     "choose_config",
+    "choose_config_mxu",
+    "choose_backend",
     "autotune",
     "block_counts",
+    "block_counts_mxu",
     "TuneResult",
     "ConfigStore",
 ]
@@ -95,6 +98,10 @@ class TuneResult:
     config: SpmmConfig
     predicted_cost: float
     measured_ms: Optional[float] = None
+    # packed format / backend family this config targets:
+    # "vpu" -> format/pack.py + ops/spmm_pallas.py (backend "pallas"/"xla")
+    # "mxu" -> format/pack_mxu.py + ops/spmm_mxu_pallas.py (backend "mxu")
+    fmt: str = "vpu"
 
 
 def choose_config(
@@ -174,6 +181,104 @@ def choose_config(
     return results[:top]
 
 
+# Measured on v5e (nasa4704 probes, round 2): one MXU block visit — dynamic
+# B-slab slice + (bk,128)x(bk,tile_n) HIGHEST-precision contraction + slab
+# accumulate — costs ~160-220 cycles per (block, N-panel), near-independent
+# of bk (weight-load / issue bound). Deep blocks therefore win whenever the
+# A-stream DMA they inflate stays under the per-visit saving.
+MXU_BLOCK_CYCLES = 190.0
+
+
+def block_counts_mxu(
+    coo: COOMatrix, block_ks: Sequence[int] = (32, 64, 128)
+) -> dict:
+    """Exact number of 128 x bk dense slabs A occupies, per candidate bk."""
+    ms = coo.rows.astype(np.int64) >> 7  # 128-row slab
+    out = {}
+    for bk in block_ks:
+        bc = coo.cols.astype(np.int64) // bk
+        keys = ms * ((coo.shape[1] // bk) + 1) + bc
+        out[bk] = int(np.unique(keys).size)
+    return out
+
+
+def choose_config_mxu(
+    coo: COOMatrix,
+    base: SpmmConfig = SpmmConfig(),
+    block_ks: Sequence[int] = (32, 64, 128),
+    tile_ms: Sequence[int] = (512, 1024),
+    tile_ns: Sequence[int] = (256, 512),
+    window_ks: Sequence[int] = (2048, 4096),
+    top: int = 1,
+    n: int = 512,
+) -> List[TuneResult]:
+    """Analytic config choice for the MXU dense-slab kernel; best first.
+
+    Modeled cycles: blocks * MXU_BLOCK_CYCLES * panels + group overhead +
+    (A re-stream per panel + B window refetch per job + C in/out) DMA.
+    """
+    m = max(coo.shape[0], 1)
+    counts = block_counts_mxu(coo, block_ks)
+    results = []
+    for tm, wk in [(a, b) for a in tile_ms for b in window_ks]:
+        if tm % 128 != 0:
+            continue
+        njobs = job_counts(coo, tm, wk)
+        for bk, nb in counts.items():
+            if bk % 8 != 0 or wk % bk != 0:
+                continue
+            # group ~512-1024 vals sublanes per DMA step
+            gb = max(1, min(64, 1024 // bk))
+            avg_job = max(1, nb // max(njobs, 1))
+            while gb > 1 and gb > 2 * avg_job:
+                gb //= 2
+            cfg = base.with_(
+                block_k=bk, tile_m=tm, window_k=wk, group_blocks=gb
+            )
+            padded_blocks = nb + njobs * gb // 2
+            ngroups = max(1, cdiv(padded_blocks, gb))
+            a_bytes = padded_blocks * (bk * 128 * 4 + 8)
+            for tn in tile_ns:
+                if tn > ((n + 127) // 128) * 128:
+                    continue
+                if vmem_estimate(cfg.with_(n_acc=1), tn) > VMEM_BUDGET:
+                    continue
+                panels = max(1, cdiv(n, tn))
+                cost = (
+                    padded_blocks * MXU_BLOCK_CYCLES * panels
+                    + ngroups * C_GROUP * panels
+                    + (
+                        njobs * cfg.window_k * 4 * n
+                        + 2 * m * n * 4
+                        + a_bytes * panels
+                    )
+                    / BYTES_PER_CYCLE
+                )
+                results.append(
+                    TuneResult(cfg.with_(tile_n=tn), cost, fmt="mxu")
+                )
+    if not results:
+        return []
+    results.sort(key=lambda r: r.predicted_cost)
+    return results[:top]
+
+
+def choose_backend(
+    coo: COOMatrix,
+    n: int = 512,
+    base: SpmmConfig = SpmmConfig(),
+    top: int = 1,
+) -> List[TuneResult]:
+    """Joint analytic choice across both kernel families (VPU block format
+    vs MXU dense-slab format) — the per-sparsity-pattern dispatch the
+    reference resolves at bitstream-build time. Returns the merged top-N,
+    best first; ``TuneResult.fmt`` says which pack pass to run."""
+    vpu = choose_config(coo, base, top=max(top, 1), n=n)
+    mxu = choose_config_mxu(coo, base, top=max(top, 1), n=n)
+    merged = sorted(vpu + mxu, key=lambda r: r.predicted_cost)
+    return merged[:top]
+
+
 def autotune(
     coo: COOMatrix,
     n: int,
@@ -183,14 +288,21 @@ def autotune(
     backend: str = "auto",
     rp_time: int = 64,
 ) -> TuneResult:
-    """Measured autotune: time the top analytic candidates on device."""
+    """Measured autotune: time the top analytic candidates on device.
+
+    Candidates span BOTH kernel families (VPU block format and MXU
+    dense-slab format); ``backend`` applies to VPU candidates only ("auto"
+    resolves per format).
+    """
     import jax.numpy as jnp
 
     from sextans_tpu.format.pack import pack
+    from sextans_tpu.format.pack_mxu import pack_mxu
     from sextans_tpu.ops.plan import SpmmPlan
     from sextans_tpu.utils.timing import time_repeat
 
     cands = choose_config(coo, base, block_ks, top=candidates, n=n)
+    cands += choose_config_mxu(coo, base, top=max(1, candidates - 1), n=n)
     m, k = coo.shape
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
@@ -200,8 +312,12 @@ def autotune(
     errors = []
     for cand in cands:
         try:
-            packed = pack(coo, cand.config)
-            plan = SpmmPlan(packed, n, backend=backend)
+            if cand.fmt == "mxu":
+                packed = pack_mxu(coo, cand.config)
+                plan = SpmmPlan(packed, n, backend="auto")
+            else:
+                packed = pack(coo, cand.config)
+                plan = SpmmPlan(packed, n, backend=backend)
             secs = time_repeat(plan, b, 1.0, 0.5, c0, times=rp_time)
         except Exception as e:  # candidate failed to compile/run — skip it,
             # but never silently (a flaky session would otherwise degrade the

@@ -11,7 +11,38 @@ from __future__ import annotations
 from dataclasses import dataclass, replace
 from typing import Optional
 
-__all__ = ["SpmmConfig", "cdiv", "round_up"]
+__all__ = ["SpmmConfig", "cdiv", "round_up", "check_kernel_vmem"]
+
+# Per-core VMEM on the target part (v5e) is ~16 MiB. Mosaic double-buffers
+# small streamed blocks but keeps at most one copy of buffers that dominate
+# the budget; accounting below matches what measured configs actually fit.
+VMEM_BYTES = 16 * 1024 * 1024
+
+
+def check_kernel_vmem(
+    *,
+    acc_bytes: int,
+    b_window_bytes: int,
+    c_bytes: int,
+    vals_bytes: int,
+    limit: int = VMEM_BYTES,
+) -> None:
+    """Reject kernel configs whose VMEM working set cannot fit.
+
+    Without this guard, oversized configs die inside the TPU compiler with
+    an opaque ``tpu_compile_helper exit 1`` (observed on v5e for
+    tile_m x tile_n accumulators + window buffers past ~16 MiB); the
+    autotuner must see a typed error it can log and skip instead.
+    """
+    total = acc_bytes + b_window_bytes + c_bytes + 2 * vals_bytes
+    if total > limit:
+        raise ValueError(
+            f"kernel VMEM working set {total / 2**20:.1f} MiB exceeds "
+            f"{limit / 2**20:.1f} MiB (acc {acc_bytes / 2**20:.1f} + "
+            f"B window {b_window_bytes / 2**20:.1f} + "
+            f"C {c_bytes / 2**20:.1f} + vals {2 * vals_bytes / 2**20:.1f}); "
+            "reduce tile_m/tile_n/window_k"
+        )
 
 
 def cdiv(a: int, b: int) -> int:
@@ -64,6 +95,10 @@ class SpmmConfig:
     # chunk_unroll != 1 requests FULL unroll of the chunk loop (Mosaic only
     # supports 1 or all); applied when the group has <= 16 chunks.
     chunk_unroll: int = 2
+    # precise — Kahan compensated accumulation across block visits in the
+    # Pallas kernels (extra VMEM compensation buffer): lands within ~1 ulp
+    # of the float64 oracle at a modest throughput cost (docs/ACCURACY.md).
+    precise: bool = False
 
     def __post_init__(self):
         if self.tile_m % 8 != 0 or self.tile_m <= 0:
@@ -74,15 +109,23 @@ class SpmmConfig:
             raise ValueError("window_k must be a multiple of block_k")
         if self.window_k % 8 != 0:
             raise ValueError("window_k must be a multiple of 8")
-        chunk = max(1, 128 // self.block_k)
-        if self.group_blocks % chunk != 0:
-            raise ValueError(
-                f"group_blocks must be a multiple of {chunk} (=128/block_k)"
-            )
+        if self.group_blocks <= 0:
+            raise ValueError("group_blocks must be positive")
         if self.tile_n is not None and self.tile_n % 128 != 0:
             raise ValueError("tile_n must be a multiple of 128 (TPU lane count)")
         if self.n_acc < 1 or self.chunk_unroll < 1:
             raise ValueError("n_acc and chunk_unroll must be >= 1")
+
+    def validate_vpu(self) -> None:
+        """Extra constraints of the VPU block format (format/pack.py +
+        ops/spmm_pallas.py): group vals are consumed in (8, 128)-register
+        chunks of 128//block_k blocks each."""
+        chunk = max(1, 128 // self.block_k)
+        if self.group_blocks % chunk != 0:
+            raise ValueError(
+                f"group_blocks must be a multiple of {chunk} (=128/block_k) "
+                "for the VPU block format"
+            )
 
     @property
     def stripes_per_tile(self) -> int:

@@ -54,3 +54,37 @@ def test_autotune_measured_cpu():
     best = autotune(coo, 16, base=cfg, block_ks=(4, 8), candidates=2,
                     backend="xla", rp_time=2)
     assert best.measured_ms is not None and best.measured_ms > 0
+
+
+# ---- MXU format autotuning (round 2) ----
+
+def test_choose_config_mxu_valid():
+    from sextans_tpu.utils.autotune import choose_config_mxu
+
+    coo = COOMatrix.random(1000, 1000, 20000, seed=7, banded=True, bandwidth=200)
+    for r in choose_config_mxu(coo, SpmmConfig(), top=4):
+        assert r.fmt == "mxu"
+        assert r.config.tile_m % 128 == 0
+        assert r.config.block_k % 8 == 0
+        assert r.config.window_k % r.config.block_k == 0
+        assert r.predicted_cost > 0
+
+
+def test_choose_backend_prefers_mxu_on_dense_band():
+    """A dense-banded (FEM-like) matrix: deep 128-wide slabs are nearly as
+    full as 8x8 blocks, so the MXU family should win the analytic ranking."""
+    from sextans_tpu.utils.autotune import choose_backend
+
+    coo = COOMatrix.random(2000, 2000, 200000, seed=8, banded=True, bandwidth=300)
+    best = choose_backend(coo, n=512)[0]
+    assert best.fmt == "mxu"
+
+
+def test_choose_backend_prefers_vpu_on_scattered():
+    """Uniformly random sparse: 128-wide slabs are catastrophically empty
+    (fill ~ nnz density), so the VPU 8x8 family must win."""
+    from sextans_tpu.utils.autotune import choose_backend
+
+    coo = COOMatrix.random(20000, 20000, 60000, seed=9)
+    best = choose_backend(coo, n=512)[0]
+    assert best.fmt == "vpu"

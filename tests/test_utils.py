@@ -67,7 +67,10 @@ def test_config_validation():
     with pytest.raises(ValueError):
         SpmmConfig(window_k=100, block_k=8)
     with pytest.raises(ValueError):
-        SpmmConfig(group_blocks=7, block_k=8)  # needs multiple of 16
+        # VPU-format chunk constraint: needs multiple of 16 (128/block_k)
+        SpmmConfig(group_blocks=7, block_k=8).validate_vpu()
+    with pytest.raises(ValueError):
+        SpmmConfig(group_blocks=0)
     with pytest.raises(ValueError):
         SpmmConfig(tile_n=100)
     with pytest.raises(ValueError):
