@@ -27,6 +27,7 @@ from sextans_tpu.ops.plan import SpmmPlan
 from sextans_tpu.parallel.partition import ShardedSpMatrix, pack_sharded, pack_sharded_k
 from sextans_tpu.parallel.sharding import (
     ShardedSpmmPlan,
+    ShardedSpmmPlanK,
     make_mesh,
     spmm_sharded,
     spmm_sharded_k,
@@ -61,6 +62,7 @@ __all__ = [
     "pack_sharded",
     "pack_sharded_k",
     "ShardedSpmmPlan",
+    "ShardedSpmmPlanK",
     "make_mesh",
     "spmm_sharded",
     "spmm_sharded_k",

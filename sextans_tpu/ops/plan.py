@@ -18,7 +18,32 @@ from sextans_tpu.format.pack import PackedSpMatrix
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
 from sextans_tpu.utils.config import round_up
 
-__all__ = ["SpmmPlan"]
+__all__ = ["SpmmPlan", "retry_transient_compile"]
+
+
+def retry_transient_compile(fn, *args, attempts: int = 3):
+    """Call ``fn(*args)``, retrying on transient remote-compile failures.
+
+    The TPU compile service behind the runtime occasionally returns
+    HTTP 500 (``tpu_compile_helper subprocess exit code 1``) for configs
+    that compile fine on retry — observed repeatedly on v5e for shapes that
+    had already run in earlier sessions. A failed compile is not cached, so
+    re-invoking re-submits it. Genuine errors (VMEM guard ValueError, shape
+    errors, deterministic compiler rejections) re-raise immediately on the
+    last attempt and are never masked: only the remote_compile/HTTP 500
+    signature is retried.
+    """
+    import time as _time
+
+    for i in range(attempts):
+        try:
+            return fn(*args)
+        except Exception as e:  # noqa: BLE001 — filtered by signature below
+            msg = str(e)
+            transient = "remote_compile" in msg or "HTTP 500" in msg
+            if not transient or i == attempts - 1:
+                raise
+            _time.sleep(1.5 * (i + 1))
 
 
 class SpmmPlan:
@@ -187,8 +212,9 @@ class SpmmPlan:
             c = jnp.zeros((self.m, self.n), dtype=jnp.float32)
         else:
             c = jnp.asarray(c, dtype=jnp.float32)
-        return self._repeat_cache[times](
-            *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
+        return retry_transient_compile(
+            self._repeat_cache[times],
+            *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta),
         )
 
     def __call__(self, b, alpha=1.0, beta=0.0, c=None) -> jax.Array:
@@ -199,12 +225,14 @@ class SpmmPlan:
             if float(beta) != 0.0:
                 raise ValueError("beta != 0 requires an input C")
             if self._jit_noc is not None:
-                return self._jit_noc(*self._dev, b, jnp.float32(alpha))
+                return retry_transient_compile(
+                    self._jit_noc, *self._dev, b, jnp.float32(alpha)
+                )
             c = jnp.zeros((self.m, self.n), dtype=jnp.float32)
         else:
             c = jnp.asarray(c, dtype=jnp.float32)
             if c.shape != (self.m, self.n):
                 raise ValueError(f"C must be ({self.m}, {self.n}), got {c.shape}")
-        return self._jit(
-            *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
+        return retry_transient_compile(
+            self._jit, *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
         )

@@ -23,7 +23,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sextans_tpu.parallel.partition import ShardedSpMatrix
 from sextans_tpu.utils.config import round_up
 
-__all__ = ["spmm_sharded", "spmm_sharded_k", "ShardedSpmmPlan", "make_mesh"]
+__all__ = [
+    "spmm_sharded",
+    "spmm_sharded_k",
+    "ShardedSpmmPlan",
+    "ShardedSpmmPlanK",
+    "make_mesh",
+]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
@@ -127,6 +133,28 @@ class ShardedSpmmPlan:
             return out.reshape(m_padded, n_padded)[:m, :n_]
 
         self._jit = jax.jit(step)
+
+        # in-device rp_time repeat loop, multi-chip twin of SpmmPlan.repeat
+        # (src/sextans.cpp:54-60): C chained through the carry so repeats
+        # cannot overlap; used by the sharded timing harness.
+        def _make_repeat(times):
+            def rep(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
+                b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
+                c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
+                c_stacked = c_p.reshape(S, m_local, n_padded)
+
+                def body(_, c_acc):
+                    return inner(
+                        vals, qrow, bcol, gmt, gkw, b_p, c_acc, alpha, beta
+                    )
+
+                out = jax.lax.fori_loop(0, times, body, c_stacked)
+                return out.reshape(m_padded, n_padded)[:m, :n_]
+
+            return jax.jit(rep)
+
+        self._repeat_cache = {}
+        self._make_repeat = _make_repeat
         ns = NamedSharding(mesh, shard_spec)
         self._dev = (
             jax.device_put(jnp.asarray(sharded.vals), ns),
@@ -136,7 +164,7 @@ class ShardedSpmmPlan:
             jax.device_put(jnp.asarray(sharded.group_kwin), ns),
         )
 
-    def __call__(self, b, alpha=1.0, beta=0.0, c=None) -> jax.Array:
+    def _check_bc(self, b, beta, c):
         b = jnp.asarray(b, dtype=jnp.float32)
         if b.shape != (self.k, self.n):
             raise ValueError(f"B must be ({self.k}, {self.n}), got {b.shape}")
@@ -148,7 +176,185 @@ class ShardedSpmmPlan:
             c = jnp.asarray(c, dtype=jnp.float32)
             if c.shape != (self.m, self.n):
                 raise ValueError(f"C must be ({self.m}, {self.n}), got {c.shape}")
+        return b, c
+
+    def __call__(self, b, alpha=1.0, beta=0.0, c=None) -> jax.Array:
+        b, c = self._check_bc(b, beta, c)
         return self._jit(
+            *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
+        )
+
+    def repeat(self, b, alpha=1.0, beta=0.0, c=None, times: int = 1) -> jax.Array:
+        """Run the sharded kernel ``times`` times in-device (one dispatch),
+        feeding C back each iteration — the multi-chip rp_time analog."""
+        b, c = self._check_bc(b, beta, c)
+        if times not in self._repeat_cache:
+            self._repeat_cache[times] = self._make_repeat(times)
+        return self._repeat_cache[times](
+            *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
+        )
+
+
+class ShardedSpmmPlanK:
+    """Device-resident K-sharded executor with ICI reduce-scatter.
+
+    The plan twin of :func:`spmm_sharded_k`: uploads the stacked column-slab
+    shards to the mesh ONCE and jit-caches the step, so steady-state calls
+    move only B and C (the one-shot function re-device_put every operand per
+    call — unusable for steady-state multi-chip serving).
+
+    Each chip computes a full-M partial product over its K slab, then
+    ``psum_scatter`` sums partials over ICI while scattering C row slabs to
+    their owners; the alpha/beta epilogue runs on the owning chip.
+    """
+
+    def __init__(
+        self,
+        sharded: ShardedSpMatrix,
+        n: int,
+        *,
+        mesh: Optional[Mesh] = None,
+        backend: str = "auto",
+    ):
+        if sharded.mode != "col":
+            raise ValueError("ShardedSpmmPlanK needs a pack_sharded_k matrix")
+        mesh = mesh or make_mesh(sharded.n_shards)
+        if mesh.devices.size != sharded.n_shards:
+            raise ValueError(
+                f"matrix packed for {sharded.n_shards} shards but mesh has "
+                f"{mesh.devices.size} devices"
+            )
+        if backend == "auto":
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        self.backend = backend
+        self.mesh = mesh
+        self.sharded = sharded
+        self.m, self.k = sharded.m, sharded.k
+        self.n = n
+        cfg = sharded.config
+        self.tile_n = cfg.resolve_tile_n(n)
+        self.n_padded = round_up(n, self.tile_n)
+
+        axis = mesh.axis_names[0]
+        m, k = self.m, self.k
+        S = sharded.n_shards
+        m_padded = sharded.m_padded  # divisible by S by construction
+        k_local = sharded.k_padded
+        n_, n_padded = n, self.n_padded
+        tile_n = self.tile_n
+
+        kernel_kwargs = dict(
+            tile_m=cfg.tile_m,
+            window_k=cfg.window_k,
+            block_k=cfg.block_k,
+            group_blocks=cfg.group_blocks,
+        )
+
+        def local_step(vals, qrow, bcol, gmt, gkw, b_loc, c_loc, alpha, beta):
+            vals, qrow, bcol = vals[0], qrow[0], bcol[0]
+            gmt, gkw, b_loc, c_loc = gmt[0], gkw[0], b_loc[0], c_loc[0]
+            zeros_c = jnp.zeros((m_padded, b_loc.shape[1]), dtype=jnp.float32)
+            one, zero = jnp.float32(1.0), jnp.float32(0.0)
+            if backend == "xla":
+                from sextans_tpu.ops.spmm_xla import spmm_xla_padded
+
+                partial_ab = spmm_xla_padded(
+                    vals, qrow, bcol, gmt, gkw, b_loc, zeros_c, one, zero,
+                    **kernel_kwargs,
+                )
+            else:
+                from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
+
+                partial_ab = spmm_pallas_padded(
+                    vals, qrow, bcol, gmt, gkw, b_loc, zeros_c, one, zero,
+                    **kernel_kwargs,
+                    tile_n=tile_n,
+                    interpret=(backend == "pallas_interpret"),
+                    n_acc=cfg.n_acc,
+                    chunk_unroll=cfg.chunk_unroll,
+                    with_c=False,
+                )
+            slab = jax.lax.psum_scatter(
+                partial_ab, axis, scatter_dimension=0, tiled=True
+            )
+            return (alpha * slab + beta * c_loc)[None]
+
+        shard_spec = P(axis)
+        inner = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(shard_spec,) * 7 + (P(), P()),
+            out_specs=shard_spec,
+            check_vma=False,
+        )
+
+        def step(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
+            b_p = jnp.pad(b, ((0, S * k_local - k), (0, n_padded - n_)))
+            b_stacked = b_p.reshape(S, k_local, n_padded)
+            c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
+            c_stacked = c_p.reshape(S, m_padded // S, n_padded)
+            out = inner(
+                vals, qrow, bcol, gmt, gkw, b_stacked, c_stacked, alpha, beta
+            )
+            return out.reshape(m_padded, n_padded)[:m, :n_]
+
+        self._jit = jax.jit(step)
+
+        def _make_repeat(times):
+            def rep(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
+                b_p = jnp.pad(b, ((0, S * k_local - k), (0, n_padded - n_)))
+                b_stacked = b_p.reshape(S, k_local, n_padded)
+                c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
+                c_stacked = c_p.reshape(S, m_padded // S, n_padded)
+
+                def body(_, c_acc):
+                    return inner(
+                        vals, qrow, bcol, gmt, gkw, b_stacked, c_acc,
+                        alpha, beta,
+                    )
+
+                out = jax.lax.fori_loop(0, times, body, c_stacked)
+                return out.reshape(m_padded, n_padded)[:m, :n_]
+
+            return jax.jit(rep)
+
+        self._repeat_cache = {}
+        self._make_repeat = _make_repeat
+
+        ns = NamedSharding(mesh, shard_spec)
+        self._dev = (
+            jax.device_put(jnp.asarray(sharded.vals), ns),
+            jax.device_put(jnp.asarray(sharded.qrow), ns),
+            jax.device_put(jnp.asarray(sharded.bcol), ns),
+            jax.device_put(jnp.asarray(sharded.group_mtile), ns),
+            jax.device_put(jnp.asarray(sharded.group_kwin), ns),
+        )
+
+    def _check_bc(self, b, beta, c):
+        b = jnp.asarray(b, dtype=jnp.float32)
+        if b.shape != (self.k, self.n):
+            raise ValueError(f"B must be ({self.k}, {self.n}), got {b.shape}")
+        if c is None:
+            if float(beta) != 0.0:
+                raise ValueError("beta != 0 requires an input C")
+            c = jnp.zeros((self.m, self.n), dtype=jnp.float32)
+        else:
+            c = jnp.asarray(c, dtype=jnp.float32)
+            if c.shape != (self.m, self.n):
+                raise ValueError(f"C must be ({self.m}, {self.n}), got {c.shape}")
+        return b, c
+
+    def __call__(self, b, alpha=1.0, beta=0.0, c=None) -> jax.Array:
+        b, c = self._check_bc(b, beta, c)
+        return self._jit(
+            *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
+        )
+
+    def repeat(self, b, alpha=1.0, beta=0.0, c=None, times: int = 1) -> jax.Array:
+        b, c = self._check_bc(b, beta, c)
+        if times not in self._repeat_cache:
+            self._repeat_cache[times] = self._make_repeat(times)
+        return self._repeat_cache[times](
             *self._dev, b, c, jnp.float32(alpha), jnp.float32(beta)
         )
 
@@ -202,103 +408,19 @@ def spmm_sharded_k(
     the reference's 8-channel A / 4-channel B HBM streaming
     (link_config.ini:2-34). The alpha/beta epilogue is applied after the
     reduction on the C-owning chip.
+
+    Cached convenience over :class:`ShardedSpmmPlanK`: the packed shards are
+    uploaded to the mesh once per (N, backend, mesh) and reused across calls.
     """
-    if sharded.mode != "col":
-        raise ValueError("spmm_sharded_k needs a pack_sharded_k matrix")
-    mesh = mesh or make_mesh(sharded.n_shards)
-    axis = mesh.axis_names[0]
-    if mesh.devices.size != sharded.n_shards:
-        raise ValueError(
-            f"matrix packed for {sharded.n_shards} shards but mesh has "
-            f"{mesh.devices.size} devices"
-        )
-
-    cfg = sharded.config
-    m, k = sharded.m, sharded.k
-    S = sharded.n_shards
     b = jnp.asarray(b, dtype=jnp.float32)
-    if b.shape[0] != k:
-        raise ValueError(f"B must be ({k}, N), got {b.shape}")
+    if b.ndim != 2 or b.shape[0] != sharded.k:
+        raise ValueError(f"B must be ({sharded.k}, N), got {b.shape}")
     n = b.shape[1]
-    tile_n = cfg.resolve_tile_n(n)
-    n_padded = round_up(n, tile_n)
-
-    m_padded = sharded.m_padded  # divisible by S by construction
-    k_local = sharded.k_padded
-    b_padded = jnp.pad(b, ((0, S * k_local - k), (0, n_padded - n)))
-    b_stacked = b_padded.reshape(S, k_local, n_padded)
-
-    if c is None:
-        if float(beta) != 0.0:
-            raise ValueError("beta != 0 requires an input C")
-        c_padded = jnp.zeros((m_padded, n_padded), dtype=jnp.float32)
-    else:
-        c = jnp.asarray(c, dtype=jnp.float32)
-        if c.shape != (m, n):
-            raise ValueError(f"C must be ({m}, {n}), got {c.shape}")
-        c_padded = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n)))
-    c_stacked = c_padded.reshape(S, m_padded // S, n_padded)
-
-    if backend == "auto":
-        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-
-    kernel_kwargs = dict(
-        tile_m=cfg.tile_m,
-        window_k=cfg.window_k,
-        block_k=cfg.block_k,
-        group_blocks=cfg.group_blocks,
-    )
-    alpha_arr = jnp.float32(alpha)
-    beta_arr = jnp.float32(beta)
-    one = jnp.float32(1.0)
-    zero = jnp.float32(0.0)
-
-    def local_step(vals, qrow, bcol, gmt, gkw, b_loc, c_loc):
-        vals, qrow, bcol = vals[0], qrow[0], bcol[0]
-        gmt, gkw, b_loc, c_loc = gmt[0], gkw[0], b_loc[0], c_loc[0]
-        zeros_c = jnp.zeros((m_padded, b_loc.shape[1]), dtype=jnp.float32)
-        if backend == "xla":
-            from sextans_tpu.ops.spmm_xla import spmm_xla_padded
-
-            partial_ab = spmm_xla_padded(
-                vals, qrow, bcol, gmt, gkw, b_loc, zeros_c, one, zero,
-                **kernel_kwargs,
-            )
-        else:
-            from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
-
-            partial_ab = spmm_pallas_padded(
-                vals, qrow, bcol, gmt, gkw, b_loc, zeros_c, one, zero,
-                **kernel_kwargs,
-                tile_n=tile_n,
-                interpret=(backend == "pallas_interpret"),
-                n_acc=cfg.n_acc,
-                chunk_unroll=cfg.chunk_unroll,
-            )
-        # sum partials over ICI, scattering C row slabs to their owners
-        slab = jax.lax.psum_scatter(
-            partial_ab, axis, scatter_dimension=0, tiled=True
-        )
-        return (alpha_arr * slab + beta_arr * c_loc)[None]
-
-    shard_spec = P(axis)
-    fn = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(shard_spec,) * 7,
-        out_specs=shard_spec,
-        check_vma=False,
-    )
-
-    ns = NamedSharding(mesh, shard_spec)
-    args = (
-        jax.device_put(jnp.asarray(sharded.vals), ns),
-        jax.device_put(jnp.asarray(sharded.qrow), ns),
-        jax.device_put(jnp.asarray(sharded.bcol), ns),
-        jax.device_put(jnp.asarray(sharded.group_mtile), ns),
-        jax.device_put(jnp.asarray(sharded.group_kwin), ns),
-        jax.device_put(b_stacked, ns),
-        jax.device_put(c_stacked, ns),
-    )
-    out = fn(*args)  # (S, m_padded/S, n_padded) row-sharded result
-    return out.reshape(m_padded, n_padded)[:m, :n]
+    cache = getattr(sharded, "_plan_cache", None)
+    if cache is None:
+        cache = {}
+        sharded._plan_cache = cache
+    key = (n, backend, None if mesh is None else id(mesh))
+    if key not in cache:
+        cache[key] = ShardedSpmmPlanK(sharded, n, mesh=mesh, backend=backend)
+    return cache[key](b, alpha, beta, c)

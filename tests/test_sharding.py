@@ -130,3 +130,74 @@ def test_sharded_plan_reuse():
     assert np.max(np.abs(got2 - want2)) < 1e-4
     with pytest.raises(ValueError, match="row"):
         ShardedSpmmPlan(pack_sharded_k(coo, 4, CFG), 16, backend="xla")
+
+
+# ---- round 2: sharded Pallas lowering, repeat loops, K-shard plan ----
+
+def test_row_sharded_pallas_interpret_under_shard_map():
+    """Exercise the REAL Pallas kernel's sharded lowering (interpret mode)
+    under shard_map on the CPU mesh — the composition that runs on a real
+    v5p pod. XLA-backend-only validation would miss pallas_call/shard_map
+    interactions."""
+    coo, b, c = _problem(300, 200, 32, 3000, seed=11)
+    sharded = pack_sharded(coo, 4, CFG)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(
+        spmm_sharded(sharded, b, 0.85, -2.06, c, backend="pallas_interpret")
+    )
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_k_sharded_pallas_interpret_under_shard_map():
+    from sextans_tpu.parallel.partition import pack_sharded_k
+    from sextans_tpu.parallel.sharding import spmm_sharded_k
+
+    coo, b, c = _problem(200, 500, 32, 4000, seed=12)
+    sharded = pack_sharded_k(coo, 4, CFG)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(
+        spmm_sharded_k(sharded, b, 0.85, -2.06, c, backend="pallas_interpret")
+    )
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_row_sharded_repeat_chains():
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlan
+
+    coo, b, c = _problem(300, 200, 16, 2500, seed=13)
+    sharded = pack_sharded(coo, 4, CFG)
+    plan = ShardedSpmmPlan(sharded, 16, backend="xla")
+    one = np.asarray(plan(b, 0.5, 0.25, c))
+    two = np.asarray(plan(b, 0.5, 0.25, one))
+    chained = np.asarray(plan.repeat(b, 0.5, 0.25, c, times=2))
+    np.testing.assert_allclose(chained, two, rtol=1e-5, atol=1e-5)
+
+
+def test_k_sharded_plan_device_resident_and_repeat():
+    from sextans_tpu.parallel.partition import pack_sharded_k
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlanK, spmm_sharded_k
+
+    coo, b, c = _problem(200, 500, 16, 3000, seed=14)
+    sharded = pack_sharded_k(coo, 4, CFG)
+    plan = ShardedSpmmPlanK(sharded, 16, backend="xla")
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(plan(b, 0.85, -2.06, c))
+    assert np.max(np.abs(got - want)) < 1e-4
+    # repeat chain == two sequential applications
+    one = np.asarray(plan(b, 0.5, 0.25, c))
+    two = np.asarray(plan(b, 0.5, 0.25, one))
+    chained = np.asarray(plan.repeat(b, 0.5, 0.25, c, times=2))
+    np.testing.assert_allclose(chained, two, rtol=1e-5, atol=1e-5)
+    # the one-shot wrapper reuses one plan per (n, backend, mesh) key
+    spmm_sharded_k(sharded, b, 0.85, -2.06, c, backend="xla")
+    spmm_sharded_k(sharded, b, 1.0, 0.0, None, backend="xla")
+    assert len(sharded._plan_cache) == 1
+
+
+def test_k_sharded_plan_rejects_row_pack():
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlanK
+
+    coo, b, c = _problem(100, 100, 16, 500, seed=15)
+    sharded = pack_sharded(coo, 2, CFG)
+    with pytest.raises(ValueError, match="pack_sharded_k"):
+        ShardedSpmmPlanK(sharded, 16)

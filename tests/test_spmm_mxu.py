@@ -167,9 +167,9 @@ def test_vmem_guard_rejects_oversized_config():
         spmm_mxu_padded(
             jnp.asarray(p.vals), jnp.asarray(p.qm), jnp.asarray(p.bcol),
             jnp.asarray(p.group_mtile), jnp.asarray(p.group_kwin),
-            jnp.zeros((4736, 256), jnp.float32),
-            jnp.zeros((4864, 256), jnp.float32),
+            jnp.zeros((4736, 512), jnp.float32),
+            jnp.zeros((4864, 512), jnp.float32),
             jnp.float32(1.0), jnp.float32(0.0),
             tile_m=4864, window_k=4736, block_k=128, group_blocks=8,
-            tile_n=256,
+            tile_n=512,
         )
