@@ -44,7 +44,7 @@ def _pack_for(coo, cfg, fmt, reorder_cols):
 
 
 def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
-            reorder_cols=False, store=None):
+            reorder_cols=False, store=None, hybrid="auto"):
     import jax.numpy as jnp
 
     from sextans_tpu.format.csr import CSRMatrix
@@ -75,20 +75,43 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         cfg = SpmmConfig(tile_m=1024, window_k=4096, block_k=128,
                          group_blocks=8, chunk_unroll=2)
     stored = store.get(key) if store is not None else None
+    split = None
     if stored is not None:
         cfg = stored
-        fmt = (store.meta(key) or {}).get("fmt", fmt)
+        meta = store.meta(key) or {}
+        fmt = meta.get("fmt", fmt)
         log(f"  tuned-config store hit: {fmt} {cfg}")
     elif use_autotune:
         best = choose_backend(coo_for_tuning, n=n)[0]
         cfg, fmt = best.config, best.fmt
         log(f"  autotune: fmt={fmt} {cfg}")
 
+    # structure split: diagonals + dense head columns absorb what block
+    # formats handle worst; engage when they cover >= 30% of nnz
+    if fmt == "hybrid" or (hybrid == "auto" and use_autotune):
+        from sextans_tpu.ops.hybrid import split_structure
+
+        cand = split_structure(coo)
+        dense_cover = (cand.diag_nnz + cand.head_nnz) / max(coo.nnz, 1)
+        if fmt == "hybrid" or dense_cover >= 0.3:
+            split = cand
+            log(f"  hybrid split: {cand.summary()} (cover {dense_cover:.0%})")
+
     t0 = time.perf_counter()
-    packed = _pack_for(coo, cfg, fmt, reorder_cols)
+    if split is not None:
+        from sextans_tpu.ops.hybrid import HybridSpmmPlan
+
+        plan = HybridSpmmPlan(
+            split, n, backend=backend if backend not in ("mxu", "hybrid") else "auto"
+        )
+        fmt = f"hybrid+{plan.residue_fmt}"
+        cfg = plan.residue_config
+        packed = plan._residue_plan.packed
+    else:
+        packed = _pack_for(coo, cfg, fmt, reorder_cols)
+        plan = SpmmPlan(packed, n, backend=backend if backend != "mxu" else "auto")
     t_pack = time.perf_counter() - t0
 
-    plan = SpmmPlan(packed, n, backend=backend if backend != "mxu" else "auto")
     b_dev = jnp.asarray(b)
     c_dev = jnp.asarray(c)
 
@@ -99,13 +122,21 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         "nnz": coo.nnz,
         "n": n,
         "fmt": fmt,
-        "backend": plan.backend,
+        "backend": getattr(plan, "backend", "hybrid"),
         "block_k": cfg.block_k,
         "tile_m": cfg.tile_m,
         "window_k": cfg.window_k,
         "block_fill": round(packed.stats.block_fill, 4),
         "pack_s": round(t_pack, 3),
     }
+    if split is not None:
+        rec["hybrid"] = {
+            "diags": int(split.diag_offsets.size),
+            "diag_nnz": split.diag_nnz,
+            "head_cols": int(split.head_cols.size),
+            "head_nnz": split.head_nnz,
+            "residue_nnz": split.residue.nnz,
+        }
 
     if verify_gate:
         got = np.asarray(plan(b_dev, alpha, beta, c_dev))
@@ -122,12 +153,20 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             log(f"  !! verification failed: {res}")
             return rec
 
-    secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=rp_time)
+    # Adaptive repeat count: the tunnel's fixed dispatch+fetch cost needs
+    # T*kernel_time >> jitter for the differential to resolve; start at
+    # rp_time and escalate until the measured span is ~0.3s of kernel time.
+    times = rp_time
+    secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=times)
+    while secs * times < 0.3 and times < 4096:
+        times = min(4096, max(times * 4, int(0.35 / max(secs, 1e-6))))
+        secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=times)
+    rec["rp_time"] = times
     rec["ms"] = round(secs * 1e3, 3)
     rec["gflops"] = round(gflops(coo.nnz, m, n, secs), 2)
     if store is not None and stored is None:
         store.put(key, cfg, fmt=fmt, gflops=rec["gflops"],
-                  backend=plan.backend)
+                  backend=rec["backend"])
     return rec
 
 

@@ -1,0 +1,331 @@
+"""Hybrid structure-split SpMM: diagonals + dense head columns + residue.
+
+The reference FPGA is *structure-independent*: its PEs decode an arbitrary
+per-edge column every cycle (src/sextans.cpp:388-419), so webgraph-class and
+stencil-class matrices run at the same 64 nnz/cycle as FEM matrices. Block
+formats lose that property — a power-law or pure-diagonal pattern shatters
+into nearly-empty blocks. The TPU-native answer is not a gather PE but a
+*representation split*: decompose A by structure and give each part the
+execution engine it maps onto:
+
+* **Diagonals** (stencil / KKT / banded class): a diagonal ``c`` stores
+  ``A[i, i+c]`` as a dense vector; its SpMM contribution is
+  ``diag[:, None] * B[i+c, :]`` — a shifted elementwise FMA over (M, N)
+  that XLA fuses across diagonals into full-width VPU work with zero
+  padding or steering. (DIA format, reborn as fused XLA.)
+* **Dense head columns** (power-law class): the hub columns — for the
+  webgraph generator the top 128 columns carry ~70% of nnz — are lifted
+  into a dense (M, H) matrix; their contribution is one MXU matmul
+  ``head @ B[head_cols]`` at full systolic-array rate.
+* **Residue**: whatever structure remains goes through the blocked Pallas
+  kernels (VPU 8xBK blocks or MXU dense slabs), picked by the analytic
+  autotuner.
+
+``C = beta*C + alpha*(diag_part + head_part) `` feeds the residue kernel as
+its C input with beta=1, so the whole composition is ONE jitted program and
+two kernel launches at most.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.utils.config import SpmmConfig
+
+__all__ = ["HybridSplit", "split_structure", "HybridSpmmPlan"]
+
+
+@dataclass
+class HybridSplit:
+    """Structure decomposition of a sparse matrix (host-side)."""
+
+    m: int
+    k: int
+    nnz: int
+    # diagonals: offsets c (col - row); vals[d, i] = A[i, i + offsets[d]]
+    diag_offsets: np.ndarray  # (D,) int64
+    diag_vals: np.ndarray  # (D, m) float32
+    # dense head columns (original column ids) and their dense values
+    head_cols: np.ndarray  # (H,) int32
+    head_dense: np.ndarray  # (m, H) float32
+    residue: COOMatrix
+
+    @property
+    def diag_nnz(self) -> int:
+        return int(np.count_nonzero(self.diag_vals))
+
+    @property
+    def head_nnz(self) -> int:
+        return int(np.count_nonzero(self.head_dense))
+
+    def summary(self) -> str:
+        return (
+            f"HybridSplit(m={self.m}, k={self.k}, nnz={self.nnz}: "
+            f"{self.diag_offsets.size} diagonals ({self.diag_nnz}), "
+            f"{self.head_cols.size} head cols ({self.head_nnz}), "
+            f"residue {self.residue.nnz})"
+        )
+
+
+def split_structure(
+    coo: COOMatrix,
+    *,
+    diag_min_density: float = 0.15,
+    max_diags: int = 48,
+    head_min_degree_frac: float = 0.02,
+    max_head_cols: int = 2048,
+    min_head_cols: int = 32,
+) -> HybridSplit:
+    """Decompose ``coo`` into diagonals + dense head columns + residue.
+
+    Selection heuristics (cost-motivated):
+
+    * a diagonal is lifted when it holds >= ``diag_min_density * m``
+      nonzeros — below that, the (M, N) elementwise pass costs more memory
+      traffic than the nonzeros justify;
+    * a column is lifted into the head when its degree is
+      >= ``head_min_degree_frac * m`` — the dense (M, 128)-per-panel MXU
+      work then beats per-nonzero block handling;
+    * everything else is the residue, in ORIGINAL coordinates (no global
+      permutation: B is only gathered for the head's H rows).
+    """
+    m, k = coo.shape
+    rows = coo.rows.astype(np.int64)
+    cols = coo.cols.astype(np.int64)
+    vals = coo.vals
+    n_edges = rows.size
+
+    taken = np.zeros(n_edges, dtype=bool)
+
+    # --- diagonals ---
+    d = cols - rows  # in [-(m-1), k-1]
+    dmin = int(d.min(initial=0))
+    counts = np.bincount((d - dmin).astype(np.int64))
+    thresh = max(1, int(diag_min_density * min(m, k)))
+    cand = np.flatnonzero(counts >= thresh)
+    order = np.argsort(-counts[cand], kind="stable")
+    cand = cand[order[:max_diags]]
+    diag_offsets = np.sort(cand + dmin)
+    if diag_offsets.size:
+        on_diag = np.isin(d, diag_offsets)
+        taken |= on_diag
+        diag_vals = np.zeros((diag_offsets.size, m), dtype=np.float32)
+        off_index = {int(c): i for i, c in enumerate(diag_offsets)}
+        dsel = np.flatnonzero(on_diag)
+        didx = np.fromiter(
+            (off_index[int(x)] for x in d[dsel]), count=dsel.size, dtype=np.int64
+        )
+        np.add.at(diag_vals, (didx, rows[dsel]), vals[dsel])
+    else:
+        diag_vals = np.zeros((0, m), dtype=np.float32)
+
+    # --- dense head columns (degree computed on what's left) ---
+    rem = ~taken
+    deg = np.bincount(cols[rem], minlength=k)
+    deg_thresh = max(1, int(head_min_degree_frac * m))
+    head_cols = np.flatnonzero(deg >= deg_thresh)
+    if head_cols.size > max_head_cols:
+        top = np.argsort(-deg[head_cols], kind="stable")[:max_head_cols]
+        head_cols = np.sort(head_cols[top])
+    if head_cols.size < min_head_cols:
+        head_cols = np.zeros(0, dtype=np.int64)
+    if head_cols.size:
+        in_head = np.zeros(k, dtype=bool)
+        in_head[head_cols] = True
+        on_head = rem & in_head[cols]
+        taken |= on_head
+        col_rank = np.zeros(k, dtype=np.int64)
+        col_rank[head_cols] = np.arange(head_cols.size)
+        head_dense = np.zeros((m, head_cols.size), dtype=np.float32)
+        hsel = np.flatnonzero(on_head)
+        np.add.at(head_dense, (rows[hsel], col_rank[cols[hsel]]), vals[hsel])
+    else:
+        head_dense = np.zeros((m, 0), dtype=np.float32)
+
+    # --- residue ---
+    rsel = np.flatnonzero(~taken)
+    residue = COOMatrix(
+        (m, k),
+        coo.rows[rsel],
+        coo.cols[rsel],
+        coo.vals[rsel],
+    )
+    return HybridSplit(
+        m=m,
+        k=k,
+        nnz=coo.nnz,
+        diag_offsets=diag_offsets.astype(np.int64),
+        diag_vals=diag_vals,
+        head_cols=head_cols.astype(np.int32),
+        head_dense=head_dense,
+        residue=residue,
+    )
+
+
+class HybridSpmmPlan:
+    """Compiled executor for a HybridSplit: one jitted program computing
+
+        C' = residue_kernel(B, C_in = beta*C + alpha*(diag + head parts))
+
+    with the residue kernel invoked at beta=1. Exposes the same
+    ``__call__``/``repeat`` surface as SpmmPlan.
+    """
+
+    def __init__(
+        self,
+        split: HybridSplit,
+        n: int,
+        *,
+        residue_config: Optional[SpmmConfig] = None,
+        residue_fmt: Optional[str] = None,
+        backend: str = "auto",
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from sextans_tpu.format.pack import pack
+        from sextans_tpu.format.pack_mxu import pack_mxu
+        from sextans_tpu.ops.plan import SpmmPlan
+
+        self.split = split
+        self.m, self.k = split.m, split.k
+        self.n = n
+
+        if residue_config is None or residue_fmt is None:
+            from sextans_tpu.utils.autotune import choose_backend
+
+            if split.residue.nnz > 0:
+                best = choose_backend(split.residue, n=n)[0]
+                residue_config = residue_config or best.config
+                residue_fmt = residue_fmt or best.fmt
+            else:
+                residue_config = residue_config or SpmmConfig()
+                residue_fmt = residue_fmt or "vpu"
+        self.residue_fmt = residue_fmt
+        self.residue_config = residue_config
+
+        packed = (
+            pack_mxu(split.residue, residue_config)
+            if residue_fmt == "mxu"
+            else pack(split.residue, residue_config)
+        )
+        self._residue_plan = SpmmPlan(packed, n, backend=backend)
+
+        # device-resident dense components
+        self._dev = {}
+        self.has_diag = split.diag_offsets.size > 0
+        self.has_head = split.head_cols.size > 0
+        if self.has_diag:
+            self._dev["dvals"] = jnp.asarray(split.diag_vals)
+        if self.has_head:
+            self._dev["head"] = jnp.asarray(split.head_dense)
+            self._dev["head_cols"] = jnp.asarray(split.head_cols)
+
+        offsets = [int(c) for c in split.diag_offsets]
+        m, k = self.m, self.k
+        pad_lo = max(0, -(min(offsets) if offsets else 0))
+        pad_hi = max(0, (max(offsets) if offsets else 0) + m - k)
+        has_diag, has_head = self.has_diag, self.has_head
+        has_residue = split.residue.nnz > 0
+        res_jit = self._residue_plan._jit  # jitted fn: inlines when traced
+        res_dev = self._residue_plan._dev
+        dense_dev = tuple(
+            self._dev[key]
+            for key in ("dvals", "head", "head_cols")
+            if key in self._dev
+        )
+
+        def dense_parts(dense_args, b, c, alpha, beta):
+            """beta*C + alpha*(diagonal + head contributions), fused by XLA."""
+            args = list(dense_args)
+            acc = beta * c
+            if has_diag:
+                dvals = args.pop(0)
+                bp = jnp.pad(b, ((pad_lo, pad_hi + 1), (0, 0)))
+                for j, off in enumerate(offsets):
+                    sl = jax.lax.dynamic_slice_in_dim(bp, off + pad_lo, m, axis=0)
+                    acc = acc + alpha * dvals[j][:, None] * sl
+            if has_head:
+                head, head_cols = args
+                bh = b[head_cols, :]  # (H, N) gather
+                acc = acc + alpha * jnp.dot(
+                    head,
+                    bh,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            return acc
+
+        def one_step(dense_args, res_args, b, c, alpha, beta):
+            partial = dense_parts(dense_args, b, c, alpha, beta)
+            if not has_residue:
+                return partial
+            return res_jit(*res_args, b, partial, alpha, jnp.float32(1.0))
+
+        def step(dense_args, res_args, b, c, alpha, beta):
+            return one_step(dense_args, res_args, b, c, alpha, beta)
+
+        self._step = jax.jit(step)
+
+        # in-device rp_time chain: the ENTIRE hybrid step (dense parts +
+        # residue kernel) repeats inside one dispatch, C fed back as carry.
+        def _make_repeat(times):
+            def rep(dense_args, res_args, b, c, alpha, beta):
+                def body(_, c_acc):
+                    return one_step(dense_args, res_args, b, c_acc, alpha, beta)
+
+                return jax.lax.fori_loop(0, times, body, c)
+
+            return jax.jit(rep)
+
+        self._make_repeat = _make_repeat
+        self._repeat_cache = {}
+        self._dense_args = dense_dev
+        self._res_args = res_dev
+
+    def _coerce(self, b, beta, c):
+        import jax.numpy as jnp
+
+        b = jnp.asarray(b, dtype=jnp.float32)
+        if b.shape != (self.k, self.n):
+            raise ValueError(f"B must be ({self.k}, {self.n}), got {b.shape}")
+        if c is None:
+            if float(beta) != 0.0:
+                raise ValueError("beta != 0 requires an input C")
+            c = jnp.zeros((self.m, self.n), dtype=jnp.float32)
+        else:
+            c = jnp.asarray(c, dtype=jnp.float32)
+            if c.shape != (self.m, self.n):
+                raise ValueError(f"C must be ({self.m}, {self.n}), got {c.shape}")
+        return b, c
+
+    def __call__(self, b, alpha=1.0, beta=0.0, c=None):
+        import jax.numpy as jnp
+
+        from sextans_tpu.ops.plan import retry_transient_compile
+
+        b, c = self._coerce(b, beta, c)
+        return retry_transient_compile(
+            self._step,
+            self._dense_args, self._res_args, b, c,
+            jnp.float32(alpha), jnp.float32(beta),
+        )
+
+    def repeat(self, b, alpha=1.0, beta=0.0, c=None, times: int = 1):
+        """In-device rp_time chain over the full hybrid step (one dispatch)."""
+        import jax.numpy as jnp
+
+        from sextans_tpu.ops.plan import retry_transient_compile
+
+        b, c = self._coerce(b, beta, c)
+        if times not in self._repeat_cache:
+            self._repeat_cache[times] = self._make_repeat(times)
+        return retry_transient_compile(
+            self._repeat_cache[times],
+            self._dense_args, self._res_args, b, c,
+            jnp.float32(alpha), jnp.float32(beta),
+        )

@@ -1,0 +1,124 @@
+"""Hybrid structure-split SpMM: diagonals + dense head + residue."""
+
+import numpy as np
+import pytest
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.format.csr import CSRMatrix
+from sextans_tpu.ops.golden import golden_spmm_exact
+from sextans_tpu.ops.hybrid import HybridSpmmPlan, split_structure
+from sextans_tpu.utils.config import SpmmConfig
+
+CFG = SpmmConfig(tile_m=64, window_k=256, block_k=8, group_blocks=16, tile_n=128)
+
+
+def _check(coo, n=32, seed=0, alpha=0.85, beta=-2.06, **split_kw):
+    rng = np.random.default_rng(seed)
+    m, k = coo.shape
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    split = split_structure(coo, **split_kw)
+    assert split.diag_nnz + split.head_nnz + split.residue.nnz == coo.nnz
+    plan = HybridSpmmPlan(split, n, residue_config=CFG, residue_fmt="vpu",
+                          backend="xla")
+    got = np.asarray(plan(b, alpha, beta, c))
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, alpha, beta, c)
+    err = np.abs(got - want).max()
+    assert err < 5e-4, (split.summary(), err)
+    return split, plan
+
+
+def _stencil(m, offsets, seed=0):
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    base = np.arange(m, dtype=np.int64)
+    for off in offsets:
+        d = base + off
+        ok = (d >= 0) & (d < m)
+        rows.append(base[ok])
+        cols.append(d[ok])
+    rows = np.concatenate(rows).astype(np.int32)
+    cols = np.concatenate(cols).astype(np.int32)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    vals[vals == 0] = 1.0
+    return COOMatrix((m, m), rows, cols, vals)
+
+
+def test_pure_stencil_goes_to_diagonals():
+    coo = _stencil(500, (-7, -1, 0, 1, 7))
+    split, _ = _check(coo)
+    assert split.diag_offsets.tolist() == [-7, -1, 0, 1, 7]
+    assert split.residue.nnz == 0  # all five diagonals lifted
+
+
+def test_powerlaw_head_absorbs_hubs():
+    rng = np.random.default_rng(3)
+    m = 2000
+    # 50 hub columns take most edges, the rest are scattered
+    hub_cols = rng.choice(m, 50, replace=False)
+    hr = rng.integers(0, m, 12000)
+    hc = hub_cols[rng.integers(0, 50, 12000)]
+    sr = rng.integers(0, m, 3000)
+    sc = rng.integers(0, m, 3000)
+    rows = np.concatenate([hr, sr]).astype(np.int32)
+    cols = np.concatenate([hc, sc]).astype(np.int32)
+    lin = rows.astype(np.int64) * m + cols
+    _, keep = np.unique(lin, return_index=True)
+    vals = rng.standard_normal(keep.size).astype(np.float32)
+    vals[vals == 0] = 1.0
+    coo = COOMatrix((m, m), rows[keep], cols[keep], vals)
+    split, _ = _check(coo, head_min_degree_frac=0.02, min_head_cols=8)
+    assert split.head_cols.size >= 50
+    assert split.head_nnz > 0.5 * coo.nnz
+
+
+def test_mixed_structure_and_epilogue():
+    # diagonal + hubs + random residue, beta=0 path too
+    coo_d = _stencil(600, (0, 3))
+    rng = np.random.default_rng(5)
+    extra_r = rng.integers(0, 600, 2000).astype(np.int32)
+    extra_c = rng.integers(0, 600, 2000).astype(np.int32)
+    hub_r = rng.integers(0, 600, 3000).astype(np.int32)
+    hub_c = np.full(3000, 17, dtype=np.int32)
+    rows = np.concatenate([coo_d.rows, extra_r, hub_r])
+    cols = np.concatenate([coo_d.cols, extra_c, hub_c])
+    lin = rows.astype(np.int64) * 600 + cols
+    _, keep = np.unique(lin, return_index=True)
+    vals = rng.standard_normal(keep.size).astype(np.float32)
+    vals[vals == 0] = 1.0
+    coo = COOMatrix((600, 600), rows[keep], cols[keep], vals)
+    split, plan = _check(coo, min_head_cols=1)
+    assert split.diag_offsets.size >= 2
+    assert split.residue.nnz > 0
+    # beta=0, no C
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal((600, 32)).astype(np.float32)
+    got = np.asarray(plan(b, 1.5, 0.0, None))
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 1.5, 0.0, None)
+    assert np.abs(got - want).max() < 5e-4
+
+
+def test_nonsquare_diagonals():
+    m, k = 300, 500
+    base = np.arange(m, dtype=np.int64)
+    rows = np.concatenate([base, base]).astype(np.int32)
+    cols = np.concatenate([base + 150, base + 10]).astype(np.int32)
+    vals = np.ones(rows.size, dtype=np.float32)
+    coo = COOMatrix((m, k), rows, cols, vals)
+    split, _ = _check(coo)
+    assert set(split.diag_offsets.tolist()) == {10, 150}
+    assert split.residue.nnz == 0
+
+
+def test_hybrid_repeat_chains():
+    coo = _stencil(400, (-1, 0, 1))
+    rng = np.random.default_rng(8)
+    b = rng.standard_normal((400, 16)).astype(np.float32)
+    c = rng.standard_normal((400, 16)).astype(np.float32)
+    split = split_structure(coo)
+    plan = HybridSpmmPlan(split, 16, residue_config=CFG, residue_fmt="vpu",
+                          backend="xla")
+    one = np.asarray(plan(b, 0.5, 0.25, c))
+    two = np.asarray(plan(b, 0.5, 0.25, one))
+    chained = np.asarray(plan.repeat(b, 0.5, 0.25, c, times=2))
+    np.testing.assert_allclose(chained, two, rtol=1e-5, atol=1e-5)
