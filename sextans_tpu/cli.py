@@ -44,8 +44,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--backend",
         default="auto",
-        choices=["auto", "pallas", "xla", "pallas_interpret"],
-        help="pallas_interpret = interpreter-mode kernel (the swsim analog)",
+        choices=["auto", "pallas", "xla", "pallas_interpret", "mxu",
+                 "mxu_interpret"],
+        help="pallas_interpret/mxu_interpret = interpreter-mode kernels "
+        "(the swsim analog); mxu = dense-slab MXU kernel",
+    )
+    p.add_argument(
+        "--precise",
+        action="store_true",
+        help="Kahan compensated accumulation (within ~2 ulp of the float64 "
+        "oracle; see docs/ACCURACY.md)",
+    )
+    p.add_argument(
+        "--hybrid",
+        action="store_true",
+        help="structure-split execution: diagonals + dense head columns + "
+        "blocked residue (best for stencil/power-law matrices)",
     )
     p.add_argument("--tile-m", type=int, default=None)
     p.add_argument("--window-k", type=int, default=None)
@@ -96,18 +110,34 @@ def main(argv=None) -> int:
         if v is not None:
             cfg_kwargs[name] = v
     cfg = SpmmConfig(**cfg_kwargs)
+    fmt = "mxu" if args.backend in ("mxu", "mxu_interpret") else "vpu"
     if args.autotune:
-        from sextans_tpu.utils.autotune import choose_config
+        from sextans_tpu.utils.autotune import choose_backend
 
-        cfg = choose_config(coo, cfg, n=n)[0].config
+        best = choose_backend(coo, n=n, base=cfg)[0]
+        cfg, fmt = best.config, best.fmt
         print(
-            f"autotune: block_k={cfg.block_k} group_blocks={cfg.group_blocks} "
-            f"tile_n={cfg.tile_n}"
+            f"autotune: fmt={fmt} block_k={cfg.block_k} tile_m={cfg.tile_m} "
+            f"group_blocks={cfg.group_blocks} tile_n={cfg.tile_n}"
         )
+    if args.precise:
+        cfg = cfg.with_(precise=True)
+
+    split = None
+    if args.hybrid:
+        from sextans_tpu.ops.hybrid import split_structure
+
+        split = split_structure(coo)
+        print(split.summary())
 
     print("Packing sparse A for TPU ...", flush=True)
     t0 = time.perf_counter()
-    packed = pack(coo, cfg, reorder_cols=args.reorder_cols)
+    if fmt == "mxu":
+        from sextans_tpu.format.pack_mxu import pack_mxu
+
+        packed = pack_mxu(coo, cfg, reorder_cols=args.reorder_cols)
+    else:
+        packed = pack(coo, cfg, reorder_cols=args.reorder_cols)
     t_pack = time.perf_counter() - t0
     s = packed.stats
     print(
@@ -137,7 +167,16 @@ def main(argv=None) -> int:
     from sextans_tpu.ops.spmm import plan as make_plan
     from sextans_tpu.utils.timing import time_repeat
 
-    pl = make_plan(packed, n, backend=args.backend)
+    if split is not None:
+        from sextans_tpu.ops.hybrid import HybridSpmmPlan
+
+        pl = HybridSpmmPlan(
+            split, n,
+            backend="auto" if args.backend in ("mxu", "mxu_interpret")
+            else args.backend,
+        )
+    else:
+        pl = make_plan(packed, n, backend=args.backend)
     b_dev = jax.numpy.asarray(b)  # upload once; host->device link dominates otherwise
     c0 = jax.numpy.asarray(c)
     # in-device rp_time repeat loop (the reference's P_N bits 31:16 semantics)

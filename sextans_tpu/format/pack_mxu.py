@@ -86,12 +86,17 @@ def pack_mxu(
     coo: COOMatrix,
     config: SpmmConfig,
     reorder_cols: bool = False,
+    impl: str = "auto",
 ) -> PackedSpMatrixMXU:
     """Pack a COO matrix into the MXU dense-slab format.
 
     Requires ``config.tile_m % 128 == 0`` and ``block_k % 8 == 0`` (the slab
     is a sublane-aligned dynamic slice of both the vals buffer and the B
     window).
+
+    ``impl``: "native" (C++ runtime twin, same two-phase protocol as the
+    VPU pack), "numpy", or "auto" (native when available). Both produce
+    bit-identical arrays.
     """
     tm, wk, bk, G = (
         config.tile_m,
@@ -119,6 +124,36 @@ def pack_mxu(
 
     if nnz == 0:
         return _empty(m, k, config, n_mtiles, n_kwins)
+
+    if impl == "auto":
+        from sextans_tpu.runtime import native
+
+        impl = "native" if native.available_mxu() else "numpy"
+    if impl == "native":
+        from sextans_tpu.runtime.native import pack_mxu_native
+
+        vp, qm, bcol, group_mtile, group_kwin, (nb, njobs, nempty) = (
+            pack_mxu_native(coo.rows, coo.cols, coo.vals, m, k, config)
+        )
+        ngroups = group_kwin.shape[0]
+        stats = PackStats(
+            nnz=nnz,
+            blocks=int(nb),
+            slots=int(nb) * bk * MSLAB,
+            groups=int(ngroups),
+            pad_blocks=int(ngroups) * G - int(nb),
+            jobs=int(njobs),
+            empty_mtiles=int(nempty),
+        )
+        return PackedSpMatrixMXU(
+            m=m, k=k, nnz=nnz, config=config,
+            n_mtiles=n_mtiles, n_kwins=n_kwins,
+            vals=vp, qm=qm, bcol=bcol,
+            group_mtile=group_mtile, group_kwin=group_kwin,
+            stats=stats, col_perm=col_perm,
+        )
+    if impl != "numpy":
+        raise ValueError(f"unknown pack impl {impl!r}")
 
     rows = coo.rows.astype(np.int64)
     cols = coo.cols.astype(np.int64)

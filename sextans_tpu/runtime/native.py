@@ -63,12 +63,87 @@ def _try_load() -> Optional[ctypes.CDLL]:
     lib.sx_pack_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 8
     lib.sx_pack_free.restype = None
     lib.sx_pack_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "sx_pack_plan_mxu"):
+        lib.sx_pack_plan_mxu.restype = ctypes.c_void_p
+        lib.sx_pack_plan_mxu.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.sx_pack_fill_mxu.restype = None
+        lib.sx_pack_fill_mxu.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 8
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _try_load() is not None
+
+
+def available_mxu() -> bool:
+    lib = _try_load()
+    return lib is not None and hasattr(lib, "sx_pack_plan_mxu")
+
+
+def pack_mxu_native(rows, cols, vals, m, k, config):
+    """Native MXU dense-slab pack. Returns
+    (vals_packed, qm, bcol, group_mtile, group_kwin, (nb, njobs, nempty)) —
+    bit-identical to the NumPy pack_mxu arrays."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "sx_pack_plan_mxu"):
+        raise RuntimeError("native mxu pack unavailable")
+
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    nnz = rows.shape[0]
+
+    h = lib.sx_pack_plan_mxu(
+        nnz,
+        rows.ctypes.data,
+        cols.ctypes.data,
+        m,
+        k,
+        config.tile_m,
+        config.window_k,
+        config.block_k,
+        config.group_blocks,
+    )
+    if not h:
+        raise RuntimeError("sx_pack_plan_mxu rejected parameters")
+    try:
+        nb = lib.sx_plan_nblocks(h)
+        ngroups = lib.sx_plan_ngroups(h)
+        njobs = lib.sx_plan_njobs(h)
+        nempty = lib.sx_plan_nempty(h)
+        G, bk = config.group_blocks, config.block_k
+
+        vp = np.zeros((ngroups, G * bk, 128), dtype=np.float32)
+        qm = np.zeros((ngroups, G), dtype=np.int32)
+        bcol = np.zeros((ngroups, G), dtype=np.int32)
+        group_mtile = np.zeros(ngroups + 1, dtype=np.int32)
+        group_kwin = np.zeros(ngroups, dtype=np.int32)
+
+        lib.sx_pack_fill_mxu(
+            h,
+            rows.ctypes.data,
+            cols.ctypes.data,
+            vals.ctypes.data,
+            vp.ctypes.data,
+            qm.ctypes.data,
+            bcol.ctypes.data,
+            group_mtile.ctypes.data,
+            group_kwin.ctypes.data,
+        )
+        return vp, qm, bcol, group_mtile, group_kwin, (nb, njobs, nempty)
+    finally:
+        lib.sx_pack_free(h)
 
 
 def pack_native(rows, cols, vals, m, k, config):

@@ -23,8 +23,9 @@ struct Plan {
   int64_t nnz = 0;
   int32_t tile_m = 0, window_k = 0, block_k = 0, group_blocks = 0;
   int32_t interleave = 1;
+  int32_t mode = 0;     // 0 = VPU 8xBK blocks, 1 = MXU BKx128 slabs
   int64_t n_mtiles = 0, n_kwins = 0;
-  int32_t tmq = 0;      // stripes per tile
+  int32_t tmq = 0;      // stripes (VPU) or 128-row slabs (MXU) per tile
   int64_t bpw = 0;      // block columns per window
   // derived per-edge (sorted)
   std::vector<int64_t> order;     // edge permutation, sorted by block key
@@ -45,7 +46,7 @@ struct Plan {
 inline uint64_t edge_key(int32_t row, int32_t col, const Plan& p) {
   const int64_t mt = row / p.tile_m;
   const int64_t kw = col / p.window_k;
-  const int64_t q = (row >> 3) - mt * p.tmq;
+  const int64_t q = (row >> (p.mode ? 7 : 3)) - mt * p.tmq;
   const int64_t bcl = (col % p.window_k) / p.block_k;
   return (((static_cast<uint64_t>(mt) * p.n_kwins + kw) * p.tmq + q) * p.bpw) +
          bcl;
@@ -89,21 +90,26 @@ void radix_sort_by_key(std::vector<int64_t>& idx,
 extern "C" {
 
 // Phase 1: sort edges, identify blocks/jobs, build the schedule.
-// Returns an opaque handle (nullptr on parameter error).
-void* sx_pack_plan(int64_t nnz, const int32_t* rows, const int32_t* cols,
-                   int64_t m, int64_t k, int32_t tile_m, int32_t window_k,
-                   int32_t block_k, int32_t group_blocks, int32_t interleave) {
+// mode 0 = VPU 8xBK blocks; mode 1 = MXU BKx128 dense slabs (no interleave,
+// 128-row slab granularity). Returns an opaque handle (nullptr on error).
+static void* pack_plan_impl(int64_t nnz, const int32_t* rows,
+                            const int32_t* cols, int64_t m, int64_t k,
+                            int32_t tile_m, int32_t window_k, int32_t block_k,
+                            int32_t group_blocks, int32_t interleave,
+                            int32_t mode) {
   if (tile_m <= 0 || tile_m % 8 != 0 || block_k <= 0 ||
       window_k % block_k != 0 || group_blocks <= 0)
     return nullptr;
+  if (mode == 1 && (tile_m % 128 != 0 || block_k % 8 != 0)) return nullptr;
   Plan* p = new Plan();
   p->nnz = nnz;
   p->tile_m = tile_m;
   p->window_k = window_k;
   p->block_k = block_k;
   p->group_blocks = group_blocks;
-  p->interleave = interleave;
-  p->tmq = tile_m / 8;
+  p->interleave = mode == 1 ? 0 : interleave;
+  p->mode = mode;
+  p->tmq = tile_m / (mode ? 128 : 8);
   p->bpw = window_k / block_k;
   p->n_mtiles = std::max<int64_t>(1, (m + tile_m - 1) / tile_m);
   p->n_kwins = std::max<int64_t>(1, (k + window_k - 1) / window_k);
@@ -218,6 +224,20 @@ void* sx_pack_plan(int64_t nnz, const int32_t* rows, const int32_t* cols,
   return p;
 }
 
+void* sx_pack_plan(int64_t nnz, const int32_t* rows, const int32_t* cols,
+                   int64_t m, int64_t k, int32_t tile_m, int32_t window_k,
+                   int32_t block_k, int32_t group_blocks, int32_t interleave) {
+  return pack_plan_impl(nnz, rows, cols, m, k, tile_m, window_k, block_k,
+                        group_blocks, interleave, /*mode=*/0);
+}
+
+void* sx_pack_plan_mxu(int64_t nnz, const int32_t* rows, const int32_t* cols,
+                       int64_t m, int64_t k, int32_t tile_m, int32_t window_k,
+                       int32_t block_k, int32_t group_blocks) {
+  return pack_plan_impl(nnz, rows, cols, m, k, tile_m, window_k, block_k,
+                        group_blocks, /*interleave=*/0, /*mode=*/1);
+}
+
 int64_t sx_plan_nblocks(void* h) { return static_cast<Plan*>(h)->nb; }
 int64_t sx_plan_ngroups(void* h) { return static_cast<Plan*>(h)->ngroups; }
 int64_t sx_plan_njobs(void* h) { return static_cast<Plan*>(h)->njobs; }
@@ -269,6 +289,43 @@ void sx_pack_fill(void* h, const int32_t* rows, const int32_t* cols,
   }
 
   // empty-mtile epilogue groups + sentinel
+  for (size_t i = 0; i < p->missing_mtiles.size(); ++i)
+    group_mtile[p->ngroups_real + static_cast<int64_t>(i)] =
+        p->missing_mtiles[i];
+  group_mtile[p->ngroups] = -1;
+}
+
+// Phase 2 (MXU dense-slab format): fill caller-allocated outputs.
+//   vp:          (ngroups, G*bk, 128) float32, zero-initialized by caller
+//   qm, bcol:    (ngroups, G) int32, zero-initialized
+//   group_mtile: (ngroups+1,) int32; group_kwin: (ngroups,) int32
+void sx_pack_fill_mxu(void* h, const int32_t* rows, const int32_t* cols,
+                      const float* vals, float* vp, int32_t* qm, int32_t* bcol,
+                      int32_t* group_mtile, int32_t* group_kwin) {
+  Plan* p = static_cast<Plan*>(h);
+  const int64_t G = p->group_blocks, bk = p->block_k;
+  const int64_t vp_group_sz = G * bk * 128;
+
+  for (int64_t bidx = 0; bidx < p->nb; ++bidx) {
+    // sched is identity in MXU mode: dst arrays index blocks directly
+    const int64_t g = p->dst_group[bidx], s = p->dst_slot[bidx];
+    qm[g * G + s] = p->b_q[bidx];
+    bcol[g * G + s] = p->b_c[bidx];
+    group_mtile[g] = p->b_mt[bidx];
+    group_kwin[g] = p->b_kw[bidx];
+  }
+  for (int64_t b = 0; b < p->nb; ++b) {
+    const int64_t lo = p->blk_first[b];
+    const int64_t hi = (b + 1 < p->nb) ? p->blk_first[b + 1] : p->nnz;
+    const int64_t g = p->dst_group[b], s = p->dst_slot[b];
+    float* dst = vp + g * vp_group_sz + s * bk * 128;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t e = p->order[i];
+      const int32_t kk = cols[e] % p->block_k;
+      const int32_t mm = rows[e] & 127;
+      dst[static_cast<int64_t>(kk) * 128 + mm] += vals[e];
+    }
+  }
   for (size_t i = 0; i < p->missing_mtiles.size(); ++i)
     group_mtile[p->ngroups_real + static_cast<int64_t>(i)] =
         p->missing_mtiles[i];

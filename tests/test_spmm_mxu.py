@@ -173,3 +173,34 @@ def test_vmem_guard_rejects_oversized_config():
             tile_m=4864, window_k=4736, block_k=128, group_blocks=8,
             tile_n=512,
         )
+
+
+def test_native_mxu_pack_bit_identical():
+    """C++ MXU packer must produce bit-identical arrays to NumPy."""
+    from sextans_tpu.runtime import native
+
+    if not native.available_mxu():
+        pytest.skip("native runtime unavailable")
+    for seed, cfg in [
+        (1, SpmmConfig(tile_m=256, window_k=256, block_k=8, group_blocks=16)),
+        (2, SpmmConfig(tile_m=128, window_k=512, block_k=32, group_blocks=4)),
+    ]:
+        coo = COOMatrix.random(500, 700, 4000, seed=seed)
+        a = pack_mxu(coo, cfg, impl="numpy")
+        b = pack_mxu(coo, cfg, impl="native")
+        np.testing.assert_array_equal(a.vals, b.vals)
+        np.testing.assert_array_equal(a.qm, b.qm)
+        np.testing.assert_array_equal(a.bcol, b.bcol)
+        np.testing.assert_array_equal(a.group_mtile, b.group_mtile)
+        np.testing.assert_array_equal(a.group_kwin, b.group_kwin)
+        assert a.stats == b.stats
+    # duplicate coordinates sum in input order on both paths
+    rows = np.array([3, 3, 130, 3], dtype=np.int32)
+    cols = np.array([7, 7, 40, 7], dtype=np.int32)
+    vals = np.array([1.0, 2.0, 5.0, 0.5], dtype=np.float32)
+    coo = COOMatrix((256, 128), rows, cols, vals)
+    cfg = SpmmConfig(tile_m=128, window_k=128, block_k=8, group_blocks=8)
+    np.testing.assert_array_equal(
+        pack_mxu(coo, cfg, impl="numpy").vals,
+        pack_mxu(coo, cfg, impl="native").vals,
+    )
