@@ -127,6 +127,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         "tile_m": cfg.tile_m,
         "window_k": cfg.window_k,
         "block_fill": round(packed.stats.block_fill, 4),
+        "a_bytes_per_nnz": round(packed.stats.bytes_per_nnz, 1),
         "pack_s": round(t_pack, 3),
     }
     if split is not None:

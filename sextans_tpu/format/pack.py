@@ -67,6 +67,17 @@ class PackStats:
         total = self.blocks + self.pad_blocks
         return self.blocks / total if total else 0.0
 
+    @property
+    def bytes_per_nnz(self) -> float:
+        """Packed A bytes (vals incl. group padding + steering) per nonzero —
+        the HBM A-stream tax relative to the reference's 8 B/nnz edge stream
+        (src/sparse_helper.h:406-473). CSR costs ~8 B/nnz."""
+        if self.nnz == 0:
+            return 0.0
+        slot_bytes = 4 * (self.slots // max(self.blocks, 1))
+        total = (self.blocks + self.pad_blocks) * (slot_bytes + 8)
+        return total / self.nnz
+
 
 @dataclass
 class PackedSpMatrix:

@@ -49,6 +49,11 @@ logger = logging.getLogger("sextans_tpu.autotune")
 # Cost-model constants, calibrated against v5e measurements (docs/BENCHMARKING.md):
 # scalar/addressing cycles per block visit (a visit = block x N-panel)
 S_FIXED = 5.0
+# Scalar steering is per-BLOCK while vector work is per-vreg-chunk of
+# 128/bk blocks, so small-bk configs pay ~S_BLOCK/bk extra per visit.
+# Round-2 calibration: bk=1 measured ~107 cycles/visit (webgraph residue),
+# bk=2 ~80 (r1 webgraph), bk=8 ~26 (nasa full-unroll).
+S_BLOCK = 100.0
 # vector cycles per visit ~ (bk + C_VEC) * (tile_n/128) / VREGS_PER_CYCLE
 C_VEC = 3.0
 VREGS_PER_CYCLE = 4.0  # VPU ALUs retire ~4 (8,128) ops/cycle
@@ -159,7 +164,7 @@ def choose_config(
                 cost = (
                     padded_blocks
                     * (
-                        S_FIXED * panels
+                        (S_FIXED + S_BLOCK / bk) * panels
                         + (bk + C_VEC) * (n / 128.0) / VREGS_PER_CYCLE
                     )
                     + ngroups * C_GROUP * panels
