@@ -92,7 +92,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         from sextans_tpu.ops.hybrid import split_structure
 
         cand = split_structure(coo)
-        dense_cover = (cand.diag_nnz + cand.head_nnz) / max(coo.nnz, 1)
+        dense_cover = (cand.diag_nnz + cand.head_nnz + cand.head_row_nnz) / max(coo.nnz, 1)
         if fmt == "hybrid" or dense_cover >= 0.3:
             split = cand
             log(f"  hybrid split: {cand.summary()} (cover {dense_cover:.0%})")
@@ -136,6 +136,8 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             "diag_nnz": split.diag_nnz,
             "head_cols": int(split.head_cols.size),
             "head_nnz": split.head_nnz,
+            "head_rows": int(split.head_rows.size),
+            "head_row_nnz": split.head_row_nnz,
             "residue_nnz": split.residue.nnz,
         }
 

@@ -52,6 +52,9 @@ class HybridSplit:
     # dense head columns (original column ids) and their dense values
     head_cols: np.ndarray  # (H,) int32
     head_dense: np.ndarray  # (m, H) float32
+    # dense head rows (hub rows, e.g. circuit power nets): full dense rows
+    head_rows: np.ndarray  # (R,) int32
+    head_rows_dense: np.ndarray  # (R, k) float32
     residue: COOMatrix
 
     @property
@@ -62,11 +65,16 @@ class HybridSplit:
     def head_nnz(self) -> int:
         return int(np.count_nonzero(self.head_dense))
 
+    @property
+    def head_row_nnz(self) -> int:
+        return int(np.count_nonzero(self.head_rows_dense))
+
     def summary(self) -> str:
         return (
             f"HybridSplit(m={self.m}, k={self.k}, nnz={self.nnz}: "
             f"{self.diag_offsets.size} diagonals ({self.diag_nnz}), "
             f"{self.head_cols.size} head cols ({self.head_nnz}), "
+            f"{self.head_rows.size} head rows ({self.head_row_nnz}), "
             f"residue {self.residue.nnz})"
         )
 
@@ -79,6 +87,9 @@ def split_structure(
     head_min_degree_frac: float = 0.02,
     max_head_cols: int = 2048,
     min_head_cols: int = 32,
+    row_min_degree_frac: float = 0.02,
+    max_head_rows: int = 256,
+    min_head_rows: int = 8,
 ) -> HybridSplit:
     """Decompose ``coo`` into diagonals + dense head columns + residue.
 
@@ -146,6 +157,29 @@ def split_structure(
     else:
         head_dense = np.zeros((m, 0), dtype=np.float32)
 
+    # --- dense head rows (hub rows — circuit nets, supernode rows) ---
+    rem = ~taken
+    rdeg = np.bincount(rows[rem], minlength=m)
+    rdeg_thresh = max(1, int(row_min_degree_frac * k))
+    head_rows = np.flatnonzero(rdeg >= rdeg_thresh)
+    if head_rows.size > max_head_rows:
+        top = np.argsort(-rdeg[head_rows], kind="stable")[:max_head_rows]
+        head_rows = np.sort(head_rows[top])
+    if head_rows.size < min_head_rows:
+        head_rows = np.zeros(0, dtype=np.int64)
+    if head_rows.size:
+        in_hrow = np.zeros(m, dtype=bool)
+        in_hrow[head_rows] = True
+        on_hrow = rem & in_hrow[rows]
+        taken |= on_hrow
+        row_rank = np.zeros(m, dtype=np.int64)
+        row_rank[head_rows] = np.arange(head_rows.size)
+        head_rows_dense = np.zeros((head_rows.size, k), dtype=np.float32)
+        rsel_ = np.flatnonzero(on_hrow)
+        np.add.at(head_rows_dense, (row_rank[rows[rsel_]], cols[rsel_]), vals[rsel_])
+    else:
+        head_rows_dense = np.zeros((0, k), dtype=np.float32)
+
     # --- residue ---
     rsel = np.flatnonzero(~taken)
     residue = COOMatrix(
@@ -162,6 +196,8 @@ def split_structure(
         diag_vals=diag_vals,
         head_cols=head_cols.astype(np.int32),
         head_dense=head_dense,
+        head_rows=head_rows.astype(np.int32),
+        head_rows_dense=head_rows_dense,
         residue=residue,
     )
 
@@ -183,6 +219,7 @@ class HybridSpmmPlan:
         residue_config: Optional[SpmmConfig] = None,
         residue_fmt: Optional[str] = None,
         backend: str = "auto",
+        dia_backend: str = "auto",
     ):
         import jax
         import jax.numpy as jnp
@@ -219,23 +256,72 @@ class HybridSpmmPlan:
         self._dev = {}
         self.has_diag = split.diag_offsets.size > 0
         self.has_head = split.head_cols.size > 0
+        self.has_hrows = split.head_rows.size > 0
         if self.has_diag:
             self._dev["dvals"] = jnp.asarray(split.diag_vals)
         if self.has_head:
             self._dev["head"] = jnp.asarray(split.head_dense)
             self._dev["head_cols"] = jnp.asarray(split.head_cols)
+        if self.has_hrows:
+            self._dev["hrows"] = jnp.asarray(split.head_rows_dense)
+            self._dev["hrows_idx"] = jnp.asarray(split.head_rows)
 
         offsets = [int(c) for c in split.diag_offsets]
         m, k = self.m, self.k
         pad_lo = max(0, -(min(offsets) if offsets else 0))
         pad_hi = max(0, (max(offsets) if offsets else 0) + m - k)
+
+        # Diagonal engine: the Pallas DIA kernel on TPU (XLA formulations
+        # materialize (M, N) temporaries per diagonal — 80-300 ms measured
+        # for 7 diagonals on laplace3d_64); a lax.map-tiled XLA fallback
+        # elsewhere.
+        if dia_backend == "auto":
+            dia_backend = (
+                "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+            )
+        self.dia_backend = dia_backend
+        from sextans_tpu.utils.config import round_up as _round_up
+
+        dia_tile_m = 512
+        dia_tile_n = min(512, _round_up(max(n, 1), 128))
+        if self.has_diag and dia_backend in ("pallas", "pallas_interpret"):
+            from sextans_tpu.ops.spmm_dia_pallas import cluster_offsets
+
+            # bound the B blocks per grid step (VMEM): shrink tile_n first
+            nb_blocks = sum(
+                (cl[-1] - cl[0]) // dia_tile_m + 2
+                for cl in cluster_offsets(offsets, dia_tile_m)
+            )
+            while (
+                dia_tile_n > 128
+                and (nb_blocks + 3) * dia_tile_m * dia_tile_n * 4 > 12 * 2**20
+            ):
+                dia_tile_n //= 2
+            m_pad_dia = _round_up(m, dia_tile_m)
+            dvt = np.zeros((m_pad_dia, len(offsets)), dtype=np.float32)
+            dvt[:m] = split.diag_vals.T
+            self._dev["dvt"] = jnp.asarray(dvt)
+        self._dia_shapes = (dia_tile_m, dia_tile_n)
         has_diag, has_head = self.has_diag, self.has_head
+        has_hrows = self.has_hrows
         has_residue = split.residue.nnz > 0
+        use_dia_kernel = has_diag and dia_backend in (
+            "pallas",
+            "pallas_interpret",
+        )
+        dia_interp = dia_backend == "pallas_interpret"
+        m_pad_dia = _round_up(m, dia_tile_m)
         res_jit = self._residue_plan._jit  # jitted fn: inlines when traced
         res_dev = self._residue_plan._dev
         dense_dev = tuple(
             self._dev[key]
-            for key in ("dvals", "head", "head_cols")
+            for key in (
+                "dvt" if use_dia_kernel else "dvals",
+                "head",
+                "head_cols",
+                "hrows",
+                "hrows_idx",
+            )
             if key in self._dev
         )
 
@@ -275,11 +361,28 @@ class HybridSpmmPlan:
         def dense_parts(dense_args, b, c, alpha, beta):
             """beta*C + alpha*(diagonal + head contributions)."""
             args = list(dense_args)
-            acc = beta * c
-            if has_diag:
-                acc = acc + dia_part(args.pop(0), b, alpha)
+            if use_dia_kernel:
+                from sextans_tpu.ops.spmm_dia_pallas import spmm_dia_padded
+
+                dvt = args.pop(0)
+                n_cols = b.shape[1]
+                ncp = -(-n_cols // dia_tile_n) * dia_tile_n
+                bp = jnp.pad(b, ((pad_lo, 0), (0, ncp - n_cols)))
+                cp = jnp.pad(c, ((0, m_pad_dia - m), (0, ncp - n_cols)))
+                acc = spmm_dia_padded(
+                    dvt, bp, cp, alpha, beta,
+                    offsets=tuple(offsets),
+                    tile_m=dia_tile_m,
+                    tile_n=dia_tile_n,
+                    interpret=dia_interp,
+                )[:m, :n_cols]
+            else:
+                acc = beta * c
+                if has_diag:
+                    acc = acc + dia_part(args.pop(0), b, alpha)
             if has_head:
-                head, head_cols = args
+                head = args.pop(0)
+                head_cols = args.pop(0)
                 bh = b[head_cols, :]  # (H, N) gather
                 acc = acc + alpha * jnp.dot(
                     head,
@@ -287,6 +390,15 @@ class HybridSpmmPlan:
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
+            if has_hrows:
+                hrows, hrows_idx = args
+                hout = jnp.dot(
+                    hrows,
+                    b,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (R, N)
+                acc = acc.at[hrows_idx].add(alpha * hout)
             return acc
 
         def one_step(dense_args, res_args, b, c, alpha, beta):

@@ -18,7 +18,8 @@ def _check(coo, n=32, seed=0, alpha=0.85, beta=-2.06, **split_kw):
     b = rng.standard_normal((k, n)).astype(np.float32)
     c = rng.standard_normal((m, n)).astype(np.float32)
     split = split_structure(coo, **split_kw)
-    assert split.diag_nnz + split.head_nnz + split.residue.nnz == coo.nnz
+    assert (split.diag_nnz + split.head_nnz + split.head_row_nnz
+            + split.residue.nnz) == coo.nnz
     plan = HybridSpmmPlan(split, n, residue_config=CFG, residue_fmt="vpu",
                           backend="xla")
     got = np.asarray(plan(b, alpha, beta, c))
@@ -122,3 +123,45 @@ def test_hybrid_repeat_chains():
     two = np.asarray(plan(b, 0.5, 0.25, one))
     chained = np.asarray(plan.repeat(b, 0.5, 0.25, c, times=2))
     np.testing.assert_allclose(chained, two, rtol=1e-5, atol=1e-5)
+
+
+def test_head_rows_absorb_hub_rows():
+    """Dense rows (circuit power nets) are lifted into a dense (R, K)
+    matmul whose output scatter-adds into the R owning C rows."""
+    rng = np.random.default_rng(11)
+    m = 1500
+    hub_rows = rng.choice(m, 12, replace=False)
+    hr = np.repeat(hub_rows, 400)
+    hc = rng.integers(0, m, hr.size)
+    sr = rng.integers(0, m, 2000)
+    sc = rng.integers(0, m, 2000)
+    rows = np.concatenate([hr, sr]).astype(np.int32)
+    cols = np.concatenate([hc, sc]).astype(np.int32)
+    lin = rows.astype(np.int64) * m + cols
+    _, keep = np.unique(lin, return_index=True)
+    vals = rng.standard_normal(keep.size).astype(np.float32)
+    vals[vals == 0] = 1.0
+    coo = COOMatrix((m, m), rows[keep], cols[keep], vals)
+    split, _ = _check(coo, min_head_rows=4)
+    assert split.head_rows.size >= 12
+    assert split.head_row_nnz > 0.5 * coo.nnz
+
+
+def test_dia_pallas_kernel_path_matches():
+    """HybridSpmmPlan with the Pallas DIA kernel (interpret) must match the
+    XLA diagonal path and the oracle."""
+    coo = _stencil(700, (-70, -1, 0, 1, 3, 200))
+    rng = np.random.default_rng(9)
+    b = rng.standard_normal((700, 40)).astype(np.float32)
+    c = rng.standard_normal((700, 40)).astype(np.float32)
+    split = split_structure(coo)
+    assert split.residue.nnz == 0
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    plan = HybridSpmmPlan(split, 40, residue_config=CFG, residue_fmt="vpu",
+                          backend="xla", dia_backend="pallas_interpret")
+    got = np.asarray(plan(b, 0.85, -2.06, c))
+    assert np.abs(got - want).max() < 5e-4
+    # repeat chain through the kernel path too
+    two = np.asarray(plan(b, 0.85, -2.06, got))
+    chained = np.asarray(plan.repeat(b, 0.85, -2.06, c, times=2))
+    np.testing.assert_allclose(chained, two, rtol=1e-5, atol=1e-4)
