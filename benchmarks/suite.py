@@ -76,10 +76,16 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                          group_blocks=8, chunk_unroll=2)
     stored = store.get(key) if store is not None else None
     split = None
+    stored_hybrid_fmt = None
     if stored is not None:
         cfg = stored
         meta = store.meta(key) or {}
         fmt = meta.get("fmt", fmt)
+        if fmt.startswith("hybrid"):
+            # stored hybrid row: rebuild the split, reuse the stored
+            # residue config/format
+            stored_hybrid_fmt = fmt.split("+", 1)[1] if "+" in fmt else None
+            fmt = "hybrid"
         log(f"  tuned-config store hit: {fmt} {cfg}")
     elif use_autotune:
         best = choose_backend(coo_for_tuning, n=n)[0]
@@ -93,7 +99,8 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
 
         cand = split_structure(coo)
         dense_cover = (cand.diag_nnz + cand.head_nnz + cand.head_row_nnz) / max(coo.nnz, 1)
-        if fmt == "hybrid" or dense_cover >= 0.3:
+        # tiny matrices degenerate to "everything is head" — not useful
+        if fmt == "hybrid" or (dense_cover >= 0.3 and coo.nnz >= 50_000):
             split = cand
             log(f"  hybrid split: {cand.summary()} (cover {dense_cover:.0%})")
 
@@ -102,7 +109,10 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         from sextans_tpu.ops.hybrid import HybridSpmmPlan
 
         plan = HybridSpmmPlan(
-            split, n, backend=backend if backend not in ("mxu", "hybrid") else "auto"
+            split, n,
+            backend=backend if backend not in ("mxu", "hybrid") else "auto",
+            residue_config=cfg if stored_hybrid_fmt else None,
+            residue_fmt=stored_hybrid_fmt,
         )
         fmt = f"hybrid+{plan.residue_fmt}"
         cfg = plan.residue_config

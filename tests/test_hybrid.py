@@ -142,7 +142,7 @@ def test_head_rows_absorb_hub_rows():
     vals = rng.standard_normal(keep.size).astype(np.float32)
     vals[vals == 0] = 1.0
     coo = COOMatrix((m, m), rows[keep], cols[keep], vals)
-    split, _ = _check(coo, min_head_rows=4)
+    split, _ = _check(coo, min_head_rows=4, head_min_degree_frac=0.5)
     assert split.head_rows.size >= 12
     assert split.head_row_nnz > 0.5 * coo.nnz
 
