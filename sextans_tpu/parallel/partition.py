@@ -23,6 +23,7 @@ import numpy as np
 
 from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.format.pack import PackedSpMatrix, pack
+from sextans_tpu.format.pack_mxu import pack_mxu
 from sextans_tpu.utils.config import SpmmConfig, cdiv, round_up
 
 __all__ = ["ShardedSpMatrix", "pack_sharded", "pack_sharded_k"]
@@ -41,13 +42,16 @@ class ShardedSpMatrix:
     n_mtiles_local: int
     n_kwins: int
     # stacked arrays, leading axis n_shards:
-    vals: np.ndarray  # (S, ngroups, 8, G*bk)
+    vals: np.ndarray  # (S, ngroups, 8, G*bk) vpu / (S, ngroups, G*bk, 128) mxu
     qrow: np.ndarray  # (S, ngroups, G)
     bcol: np.ndarray  # (S, ngroups, G)
     group_mtile: np.ndarray  # (S, ngroups+1)
     group_kwin: np.ndarray  # (S, ngroups)
     shards: List[PackedSpMatrix]  # per-shard metadata (pre-padding)
     mode: str = "row"  # "row" = row-block sharded; "col" = K-sharded
+    # packed format family: "vpu" (8xBK blocks; qrow = stripe index) or
+    # "mxu" (BKx128 slabs; qrow holds the slab index qm)
+    fmt: str = "vpu"
 
     @property
     def m_padded(self) -> int:
@@ -68,19 +72,24 @@ class ShardedSpMatrix:
         return int(self.group_kwin.shape[1])
 
 
-def _pad_shard_groups(p: PackedSpMatrix, ngroups: int) -> PackedSpMatrix:
+def _q_of(p):
+    return p.qm if hasattr(p, "qm") else p.qrow
+
+
+def _pad_shard_groups(p, ngroups: int):
     """Extend a shard to ``ngroups`` groups with zero-value padding groups
-    that continue the last real group's m-tile run."""
+    that continue the last real group's m-tile run (format-agnostic)."""
     cur = p.n_groups
     if cur == ngroups:
         return p
     extra = ngroups - cur
-    G, bk = p.config.group_blocks, p.config.block_k
+    G = p.config.group_blocks
     last_mt = p.group_mtile[cur - 1]
     vals = np.concatenate(
-        [p.vals, np.zeros((extra, 8, G * bk), dtype=np.float32)], axis=0
+        [p.vals, np.zeros((extra,) + p.vals.shape[1:], dtype=np.float32)],
+        axis=0,
     )
-    qrow = np.concatenate([p.qrow, np.zeros((extra, G), dtype=np.int32)], axis=0)
+    qrow = np.concatenate([_q_of(p), np.zeros((extra, G), dtype=np.int32)], axis=0)
     bcol = np.concatenate([p.bcol, np.zeros((extra, G), dtype=np.int32)], axis=0)
     group_kwin = np.concatenate(
         [p.group_kwin, np.zeros(extra, dtype=np.int32)], axis=0
@@ -92,7 +101,7 @@ def _pad_shard_groups(p: PackedSpMatrix, ngroups: int) -> PackedSpMatrix:
             np.array([-1], dtype=np.int32),
         ]
     )
-    return PackedSpMatrix(
+    kw = dict(
         m=p.m,
         k=p.k,
         nnz=p.nnz,
@@ -100,16 +109,21 @@ def _pad_shard_groups(p: PackedSpMatrix, ngroups: int) -> PackedSpMatrix:
         n_mtiles=p.n_mtiles,
         n_kwins=p.n_kwins,
         vals=vals,
-        qrow=qrow,
         bcol=bcol,
         group_mtile=group_mtile,
         group_kwin=group_kwin,
         stats=p.stats,
     )
+    if hasattr(p, "qm"):
+        from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
+
+        return PackedSpMatrixMXU(qm=qrow, **kw)
+    return PackedSpMatrix(qrow=qrow, **kw)
 
 
 def pack_sharded_k(
-    coo: COOMatrix, n_shards: int, config: SpmmConfig = SpmmConfig()
+    coo: COOMatrix, n_shards: int, config: SpmmConfig = SpmmConfig(),
+    fmt: str = "vpu",
 ) -> ShardedSpMatrix:
     """Split *columns* into ``n_shards`` slabs (K-sharded A, for the
     reduce-scatter formulation). Every shard covers the full (padded) row
@@ -139,7 +153,9 @@ def pack_sharded_k(
                 coo.cols[sel] - lo,
                 coo.vals[sel],
             )
-        shards.append(pack(local, config))
+        shards.append(
+            pack_mxu(local, config) if fmt == "mxu" else pack(local, config)
+        )
 
     ngroups = max(p.n_groups for p in shards)
     padded = [_pad_shard_groups(p, ngroups) for p in shards]
@@ -153,19 +169,24 @@ def pack_sharded_k(
         n_mtiles_local=m_round // tm,
         n_kwins=k_local // wk,
         vals=np.stack([p.vals for p in padded]),
-        qrow=np.stack([p.qrow for p in padded]),
+        qrow=np.stack([_q_of(p) for p in padded]),
         bcol=np.stack([p.bcol for p in padded]),
         group_mtile=np.stack([p.group_mtile for p in padded]),
         group_kwin=np.stack([p.group_kwin for p in padded]),
         shards=shards,
         mode="col",
+        fmt=fmt,
     )
 
 
 def pack_sharded(
-    coo: COOMatrix, n_shards: int, config: SpmmConfig = SpmmConfig()
+    coo: COOMatrix, n_shards: int, config: SpmmConfig = SpmmConfig(),
+    fmt: str = "vpu",
 ) -> ShardedSpMatrix:
-    """Split rows into ``n_shards`` contiguous slabs and pack each."""
+    """Split rows into ``n_shards`` contiguous slabs and pack each.
+
+    ``fmt``: packed format family — "vpu" (8xBK blocks) or "mxu"
+    (BKx128 dense slabs for the systolic-array kernel)."""
     m, k = coo.shape
     tm = config.tile_m
     # Equal per-shard row slab, multiple of tile_m.
@@ -191,7 +212,7 @@ def pack_sharded(
                 coo.cols[sel],
                 coo.vals[sel],
             )
-        p = pack(local, config)
+        p = pack_mxu(local, config) if fmt == "mxu" else pack(local, config)
         assert p.n_kwins == n_kwins and p.n_mtiles == m_local // tm
         shards.append(p)
 
@@ -208,9 +229,10 @@ def pack_sharded(
         n_mtiles_local=m_local // tm,
         n_kwins=n_kwins,
         vals=np.stack([p.vals for p in padded]),
-        qrow=np.stack([p.qrow for p in padded]),
+        qrow=np.stack([_q_of(p) for p in padded]),
         bcol=np.stack([p.bcol for p in padded]),
         group_mtile=np.stack([p.group_mtile for p in padded]),
         group_kwin=np.stack([p.group_kwin for p in padded]),
         shards=shards,
+        fmt=fmt,
     )

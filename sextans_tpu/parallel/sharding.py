@@ -62,8 +62,17 @@ class ShardedSpmmPlan:
                 f"matrix packed for {sharded.n_shards} shards but mesh has "
                 f"{mesh.devices.size} devices"
             )
+        fmt = getattr(sharded, "fmt", "vpu")
         if backend == "auto":
-            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+            on_tpu = jax.devices()[0].platform == "tpu"
+            if fmt == "mxu":
+                backend = "mxu" if on_tpu else "mxu_interpret"
+            else:
+                backend = "pallas" if on_tpu else "xla"
+        if (fmt == "mxu") != (backend in ("mxu", "mxu_interpret")):
+            raise ValueError(
+                f"backend {backend!r} does not match sharded format {fmt!r}"
+            )
         self.backend = backend
         self.mesh = mesh
         self.sharded = sharded
@@ -101,6 +110,17 @@ class ShardedSpmmPlan:
                     vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
                     **kernel_kwargs,
                 )
+            elif backend in ("mxu", "mxu_interpret"):
+                from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded
+
+                out = spmm_mxu_padded(
+                    vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
+                    **kernel_kwargs,
+                    tile_n=tile_n,
+                    interpret=(backend == "mxu_interpret"),
+                    unroll=cfg.chunk_unroll,
+                    precise=cfg.precise,
+                )
             else:
                 from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
 
@@ -111,6 +131,7 @@ class ShardedSpmmPlan:
                     interpret=(backend == "pallas_interpret"),
                     n_acc=cfg.n_acc,
                     chunk_unroll=cfg.chunk_unroll,
+                    precise=cfg.precise,
                 )
             return out[None]
 
@@ -224,8 +245,17 @@ class ShardedSpmmPlanK:
                 f"matrix packed for {sharded.n_shards} shards but mesh has "
                 f"{mesh.devices.size} devices"
             )
+        fmt = getattr(sharded, "fmt", "vpu")
         if backend == "auto":
-            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+            on_tpu = jax.devices()[0].platform == "tpu"
+            if fmt == "mxu":
+                backend = "mxu" if on_tpu else "mxu_interpret"
+            else:
+                backend = "pallas" if on_tpu else "xla"
+        if (fmt == "mxu") != (backend in ("mxu", "mxu_interpret")):
+            raise ValueError(
+                f"backend {backend!r} does not match sharded format {fmt!r}"
+            )
         self.backend = backend
         self.mesh = mesh
         self.sharded = sharded
@@ -261,6 +291,18 @@ class ShardedSpmmPlanK:
                 partial_ab = spmm_xla_padded(
                     vals, qrow, bcol, gmt, gkw, b_loc, zeros_c, one, zero,
                     **kernel_kwargs,
+                )
+            elif backend in ("mxu", "mxu_interpret"):
+                from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded
+
+                partial_ab = spmm_mxu_padded(
+                    vals, qrow, bcol, gmt, gkw, b_loc, zeros_c, one, zero,
+                    **kernel_kwargs,
+                    tile_n=tile_n,
+                    interpret=(backend == "mxu_interpret"),
+                    unroll=cfg.chunk_unroll,
+                    precise=cfg.precise,
+                    with_c=False,
                 )
             else:
                 from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded

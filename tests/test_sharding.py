@@ -201,3 +201,44 @@ def test_k_sharded_plan_rejects_row_pack():
     sharded = pack_sharded(coo, 2, CFG)
     with pytest.raises(ValueError, match="pack_sharded_k"):
         ShardedSpmmPlanK(sharded, 16)
+
+
+def test_row_sharded_mxu_format():
+    """MXU dense-slab format under shard_map (interpret) on the CPU mesh."""
+    from sextans_tpu.parallel.partition import pack_sharded
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlan
+
+    cfg = SpmmConfig(tile_m=128, window_k=128, block_k=8, group_blocks=8,
+                     tile_n=128)
+    coo, b, c = _problem(300, 200, 32, 3000, seed=21)
+    sharded = pack_sharded(coo, 4, cfg, fmt="mxu")
+    assert sharded.fmt == "mxu"
+    plan = ShardedSpmmPlan(sharded, 32)  # auto -> mxu_interpret on CPU
+    assert plan.backend == "mxu_interpret"
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(plan(b, 0.85, -2.06, c))
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_k_sharded_mxu_format():
+    from sextans_tpu.parallel.partition import pack_sharded_k
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlanK
+
+    cfg = SpmmConfig(tile_m=128, window_k=128, block_k=8, group_blocks=8,
+                     tile_n=128)
+    coo, b, c = _problem(200, 500, 32, 3000, seed=22)
+    sharded = pack_sharded_k(coo, 4, cfg, fmt="mxu")
+    plan = ShardedSpmmPlanK(sharded, 32)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(plan(b, 0.85, -2.06, c))
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_sharded_format_backend_mismatch():
+    from sextans_tpu.parallel.partition import pack_sharded
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlan
+
+    coo, b, c = _problem(100, 100, 16, 500, seed=23)
+    sharded = pack_sharded(coo, 2, CFG)  # vpu format
+    with pytest.raises(ValueError, match="does not match"):
+        ShardedSpmmPlan(sharded, 16, backend="mxu_interpret")
