@@ -90,18 +90,40 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     elif use_autotune:
         best = choose_backend(coo_for_tuning, n=n)[0]
         cfg, fmt = best.config, best.fmt
+        if fmt == "mxu" and backend in ("xla", "pallas", "pallas_interpret"):
+            # caller pinned a VPU-family backend; take the best VPU config
+            from sextans_tpu.utils.autotune import choose_config
+
+            cfg, fmt = choose_config(coo_for_tuning, n=n)[0].config, "vpu"
         log(f"  autotune: fmt={fmt} {cfg}")
 
-    # structure split: diagonals + dense head columns absorb what block
-    # formats handle worst; engage when they cover >= 30% of nnz
-    if fmt == "hybrid" or (hybrid == "auto" and use_autotune):
+    # structure split: diagonals + dense head cols/rows absorb what block
+    # formats handle worst. Engage only when the MODELED hybrid cost beats
+    # the best blocked-format cost (a blanket coverage rule mis-fires on
+    # banded FEM, where diagonals are dense but the block kernels are
+    # already near their floor). Stored configs are never overridden.
+    if fmt == "hybrid" or (
+        hybrid == "auto" and use_autotune and stored is None
+    ):
         from sextans_tpu.ops.hybrid import split_structure
+        from sextans_tpu.utils.autotune import choose_backend as _cb
+        from sextans_tpu.utils.autotune import hybrid_cost
 
         cand = split_structure(coo)
         dense_cover = (cand.diag_nnz + cand.head_nnz + cand.head_row_nnz) / max(coo.nnz, 1)
-        # tiny matrices degenerate to "everything is head" — not useful
-        if fmt == "hybrid" or (dense_cover >= 0.3 and coo.nnz >= 50_000):
+        if fmt == "hybrid":
             split = cand
+        elif dense_cover >= 0.3 and coo.nnz >= 50_000:
+            full_cost = _cb(coo_for_tuning, n=n)[0].predicted_cost
+            h_cost = hybrid_cost(cand, n=n)
+            if h_cost < 0.8 * full_cost:
+                split = cand
+            log(
+                f"  hybrid model: {h_cost / 1e6:.1f}M vs blocked "
+                f"{full_cost / 1e6:.1f}M cycles -> "
+                f"{'hybrid' if split is not None else 'blocked'}"
+            )
+        if split is not None:
             log(f"  hybrid split: {cand.summary()} (cover {dense_cover:.0%})")
 
     t0 = time.perf_counter()

@@ -114,7 +114,7 @@ def choose_config(
     base: SpmmConfig = SpmmConfig(),
     block_ks: Sequence[int] = (1, 2, 4, 8),
     tile_ms: Sequence[int] = (512, 1024),
-    tile_ns: Sequence[int] = (256, 512),
+    tile_ns: Sequence[int] = (128, 256, 512),
     window_ks: Sequence[int] = (2048, 4096, 8192),
     top: int = 1,
     n: int = 512,
@@ -212,7 +212,7 @@ def choose_config_mxu(
     base: SpmmConfig = SpmmConfig(),
     block_ks: Sequence[int] = (32, 64, 128),
     tile_ms: Sequence[int] = (512, 1024),
-    tile_ns: Sequence[int] = (256, 512),
+    tile_ns: Sequence[int] = (128, 256, 512),
     window_ks: Sequence[int] = (2048, 4096),
     top: int = 1,
     n: int = 512,
@@ -339,6 +339,37 @@ def autotune(
             f"no autotune candidate ran successfully; failures: {errors}"
         )
     return best
+
+
+def hybrid_cost(split, n: int = 512) -> float:
+    """Modeled cycles for executing a HybridSplit: dense parts (DIA kernel
+    traffic + VPU FLOPs, head MXU matmuls) plus the residue's best blocked
+    cost. Comparable against choose_backend(...)[0].predicted_cost for the
+    engage/skip decision."""
+    m, k = split.m, split.k
+    D = int(split.diag_offsets.size)
+    cost = 0.0
+    if D:
+        from sextans_tpu.ops.spmm_dia_pallas import cluster_offsets
+
+        nbb = sum(
+            (cl[-1] - cl[0]) // 512 + 2
+            for cl in cluster_offsets([int(o) for o in split.diag_offsets], 512)
+        )
+        # B blocks + C in/out traffic, plus VPU FMA work
+        cost += (nbb * m * n * 4 + 2 * m * n * 4) / BYTES_PER_CYCLE
+        cost += D * m * n * 2 / 2048.0
+    H = int(split.head_cols.size)
+    if H:
+        cost += 2.0 * m * H * n / 10000.0  # MXU f32 ~10k FLOP/cycle
+        cost += m * H * 4 / BYTES_PER_CYCLE
+    R = int(split.head_rows.size)
+    if R:
+        cost += 2.0 * R * k * n / 10000.0
+        cost += R * k * 4 / BYTES_PER_CYCLE
+    if split.residue.nnz:
+        cost += choose_backend(split.residue, n=n)[0].predicted_cost
+    return cost
 
 
 class ConfigStore:
