@@ -50,7 +50,23 @@ def main():
     ref = sx.golden_spmm(sx.CSRMatrix.from_coo(a), b, 0.85, -2.06, c)
     print(sx.verify(ref, out))
 
-    # 5. gradients, if you need them
+    # 5. the MXU dense-slab engine (flagship on TPU: 938 GFLOPS nasa4704
+    #    N=512 on v5e; the analytic autotuner picks the family per matrix)
+    from sextans_tpu.utils.autotune import choose_backend
+
+    best = choose_backend(a, n=n)[0]
+    print(f"autotuner pick: {best.fmt} {best.config}")
+    if best.fmt == "mxu":
+        packed_mxu = sx.pack_mxu(a, best.config)
+        out2 = np.asarray(sx.plan(packed_mxu, n)(b, 0.85, -2.06, c))
+        print("mxu engine:", sx.verify(ref, out2))
+
+    # 6. hybrid structure split, for stencil/power-law matrices:
+    #    diagonals + dense hub columns/rows + blocked residue
+    split = sx.split_structure(a)
+    print(split.summary())
+
+    # 7. gradients, if you need them
     import jax
 
     op = sx.spmm_op(a, n, alpha=1.0, beta=0.0)
