@@ -109,6 +109,36 @@ class SpmmPlan:
             from sextans_tpu.ops.spmm_xla import spmm_xla_padded as run
 
             extra = {}
+        elif backend in ("mxu", "mxu_interpret") and n <= 32:
+            # Skinny-N: C-transposed contraction — the MXU streams only
+            # n_ct rows per block instead of 128, and every output lane is
+            # an M column (ops/spmm_mxu_pallas.py spmm_mxu_ct_padded).
+            from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_ct_padded
+
+            n_ct = round_up(max(n, 1), 8)
+            ct_kwargs = dict(
+                tile_m=cfg.tile_m,
+                window_k=cfg.window_k,
+                block_k=cfg.block_k,
+                group_blocks=cfg.group_blocks,
+                n_ct=n_ct,
+                interpret=(backend == "mxu_interpret"),
+                unroll=cfg.chunk_unroll,
+                precise=cfg.precise,
+            )
+
+            def run(vals, qm_a, bcol_a, gmt, gkw, b_p, c_p, alpha, beta,
+                    with_c=True, **_):
+                ct_p = jnp.transpose(c_p[:, :n_ct])
+                out = spmm_mxu_ct_padded(
+                    vals, qm_a, bcol_a, gmt, gkw, b_p, ct_p, alpha, beta,
+                    with_c=with_c, **ct_kwargs,
+                )
+                return jnp.pad(
+                    jnp.transpose(out), ((0, 0), (0, c_p.shape[1] - n_ct))
+                )
+
+            extra = {}
         elif backend in ("mxu", "mxu_interpret"):
             from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded as run
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["spmm_mxu_padded"]
+__all__ = ["spmm_mxu_padded", "spmm_mxu_ct_padded"]
 
 MSLAB = 128
 
@@ -248,6 +248,226 @@ def spmm_mxu_padded(
         out_shape=jax.ShapeDtypeStruct((m_padded, n_padded), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Skinny-N variant: C transposed (N in sublanes, M in lanes).
+#
+# At N <= 32 the standard orientation wastes 96+ of 128 output lanes and
+# streams 128 rows through the MXU per block; transposing C makes the
+# contraction (bk, n_ct) x (bk, 128) -> (n_ct, 128): the systolic array
+# streams only n_ct rows against the same stationary slab, and every output
+# lane is an M column (zero lane waste). The packed A operand is UNCHANGED.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_ct(
+    mt_ref,
+    kw_ref,
+    ab_ref,
+    vals_ref,  # (1, G*bk, 128)
+    qm_ref,  # (1, 1, G) SMEM
+    bcol_ref,  # (1, 1, G) SMEM
+    b_ref,  # (1, window_k, 128) — lanes 0:n_ct hold B columns
+    *rest,  # [cin_ref,] out_ref, acc_ref
+    group_blocks: int,
+    block_k: int,
+    tile_m: int,
+    n_ct: int,
+    with_c: bool,
+    unroll: int,
+    precision,
+    precise: bool,
+):
+    comp_ref = None
+    if precise:
+        *rest, comp_ref = rest
+    if with_c:
+        cin_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
+        cin_ref = None
+    g = pl.program_id(0)
+    mt = mt_ref[g]
+    prev_mt = jnp.where(g == 0, jnp.int32(-2), mt_ref[jnp.maximum(g - 1, 0)])
+    is_first = prev_mt != mt
+    is_last = mt_ref[g + 1] != mt
+
+    @pl.when(is_first)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if precise:
+            comp_ref[...] = jnp.zeros_like(comp_ref)
+
+    bk = block_k
+    G = group_blocks
+
+    def body(i, _):
+        q = qm_ref[0, 0, i]
+        col = pl.multiple_of(bcol_ref[0, 0, i], bk)
+        off = pl.multiple_of(i * bk, bk)
+        vs = vals_ref[0, pl.ds(off, bk), :]  # (bk, 128)
+        bs = b_ref[0, pl.ds(col, bk), 0:n_ct]  # (bk, n_ct)
+        contrib = jax.lax.dot_general(
+            bs,
+            vs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (n_ct, 128)
+        if precise:
+            y = contrib - comp_ref[q]
+            s_old = acc_ref[q]
+            t = s_old + y
+            comp_ref[q] = (t - s_old) - y
+            acc_ref[q] = t
+        else:
+            acc_ref[q] += contrib
+        return 0
+
+    full = unroll != 1 and G <= 64
+    jax.lax.fori_loop(0, G, body, 0, unroll=(G if full else 1))
+
+    @pl.when(is_last)
+    def _epilogue():
+        alpha = ab_ref[0]
+        for s in range(tile_m // MSLAB):
+            acc = acc_ref[s]
+            if precise:
+                acc = acc - comp_ref[s]
+            total = alpha * acc
+            if with_c:
+                total = total + ab_ref[1] * cin_ref[:, pl.ds(s * MSLAB, MSLAB)]
+            out_ref[:, pl.ds(s * MSLAB, MSLAB)] = total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m",
+        "window_k",
+        "block_k",
+        "group_blocks",
+        "n_ct",
+        "interpret",
+        "with_c",
+        "unroll",
+        "precision",
+        "precise",
+    ),
+)
+def spmm_mxu_ct_padded(
+    vals: jax.Array,  # (ngroups, G*bk, 128) f32 — same packed A as spmm_mxu
+    qm: jax.Array,
+    bcol: jax.Array,
+    group_mtile: jax.Array,
+    group_kwin: jax.Array,
+    b_padded: jax.Array,  # (k_padded, 128) f32 — N columns in lanes 0:n_ct
+    ct_padded: jax.Array,  # (n_ct, m_padded) f32 — C TRANSPOSED
+    alpha: jax.Array,
+    beta: jax.Array,
+    *,
+    tile_m: int,
+    window_k: int,
+    block_k: int,
+    group_blocks: int,
+    n_ct: int,  # sublane-padded N (multiple of 8, <= 32)
+    interpret: bool = False,
+    with_c: bool = True,
+    unroll: int = 1,
+    precision: str = "highest",
+    precise: bool = False,
+) -> jax.Array:
+    """Skinny-N MXU SpMM producing C TRANSPOSED (n_ct, m_padded)."""
+    ngroups = vals.shape[0]
+    n_ct_pad, m_padded = ct_padded.shape
+    assert n_ct_pad == n_ct and n_ct % 8 == 0 and n_ct <= 32
+    k_padded = b_padded.shape[0]
+    n_kwins = k_padded // window_k
+    G, bk = group_blocks, block_k
+
+    if not interpret:
+        from sextans_tpu.utils.config import check_kernel_vmem
+
+        check_kernel_vmem(
+            acc_bytes=4 * (tile_m // MSLAB) * n_ct * MSLAB,
+            b_window_bytes=4 * window_k * MSLAB,
+            c_bytes=4 * (2 if with_c else 1) * n_ct * tile_m,
+            vals_bytes=4 * G * bk * MSLAB,
+        )
+
+    b3 = b_padded.reshape(n_kwins, window_k, MSLAB)
+    ab = jnp.stack([alpha, beta]).astype(jnp.float32)
+    qm3 = qm.reshape(ngroups, 1, G)
+    bcol3 = bcol.reshape(ngroups, 1, G)
+
+    def grp_idx(g, mt, kw, ab_):
+        return (g, 0, 0)
+
+    def b_idx(g, mt, kw, ab_):
+        return (kw[g], 0, 0)
+
+    def c_idx(g, mt, kw, ab_):
+        return (0, mt[g])
+
+    in_specs = [
+        pl.BlockSpec((1, G * bk, MSLAB), grp_idx),
+        pl.BlockSpec((1, 1, G), grp_idx, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, G), grp_idx, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, window_k, MSLAB), b_idx),
+    ]
+    if with_c:
+        in_specs.append(pl.BlockSpec((n_ct, tile_m), c_idx))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ngroups,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n_ct, tile_m), c_idx),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m // MSLAB, n_ct, MSLAB), jnp.float32)
+        ]
+        + (
+            [pltpu.VMEM((tile_m // MSLAB, n_ct, MSLAB), jnp.float32)]
+            if precise
+            else []
+        ),
+    )
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(
+        _kernel_ct,
+        group_blocks=G,
+        block_k=bk,
+        tile_m=tile_m,
+        n_ct=n_ct,
+        with_c=with_c,
+        unroll=unroll,
+        precision=prec,
+        precise=precise,
+    )
+    cost = pl.CostEstimate(
+        flops=ngroups * G * bk * MSLAB * 2 * n_ct,
+        bytes_accessed=(vals.size * 4 + b3.size * 4 + 2 * ct_padded.size * 4),
+        transcendentals=0,
+    )
+    operands = [group_mtile, group_kwin, ab, vals, qm3, bcol3, b3]
+    if with_c:
+        operands.append(ct_padded)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_ct, m_padded), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
         ),
         cost_estimate=cost,
         interpret=interpret,
