@@ -1,0 +1,58 @@
+"""Render a suite results JSON into the README markdown table.
+
+Usage: python benchmarks/report.py benchmarks/results_r2_small.json [...]
+Multiple files merge (later files override earlier rows with the same
+(matrix, n) if their session canary is healthier).
+"""
+import json
+import sys
+
+U280 = 259.0
+HEALTHY_CANARY_MS = 0.30
+
+
+def canary_rank(session):
+    c = session.get("nasa_canary_ms")
+    return c if c is not None else 9e9
+
+
+def main(paths):
+    best = {}
+    for p in paths:
+        doc = json.load(open(p))
+        ses = doc.get("session", {})
+        for r in doc.get("results", []):
+            if "gflops" not in r:
+                continue
+            key = (r["matrix"], r["n"])
+            prev = best.get(key)
+            if prev is None or canary_rank(ses) < canary_rank(prev[1]):
+                best[key] = (r, ses, p)
+
+    ns = sorted({k[1] for k in best})
+    mats = sorted({k[0] for k in best})
+    hdr = "| matrix | nnz | " + " | ".join(f"N={n}" for n in ns) + " |"
+    print(hdr)
+    print("|" + "---|" * (len(ns) + 2))
+    for mname in mats:
+        cells = []
+        nnz = ""
+        for n in ns:
+            e = best.get((mname, n))
+            if e is None:
+                cells.append("—")
+                continue
+            r = e[0]
+            nnz = f"{r['nnz']:,}"
+            flag = "" if r.get("verify") == "pass" else " ⚠"
+            cells.append(f"{r['gflops']:.0f}{flag}")
+        print(f"| {mname} | {nnz} | " + " | ".join(cells) + " |")
+    print()
+    for p in paths:
+        ses = json.load(open(p)).get("session", {})
+        print(f"* `{p}`: canary {ses.get('nasa_canary_ms')} ms, "
+              f"{ses.get('device')}, {ses.get('timestamp')}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -204,3 +204,29 @@ def test_native_mxu_pack_bit_identical():
         pack_mxu(coo, cfg, impl="numpy").vals,
         pack_mxu(coo, cfg, impl="native").vals,
     )
+
+
+def test_mxu_save_load_roundtrip(tmp_path):
+    from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
+
+    coo = COOMatrix.random(500, 700, 4000, seed=1)
+    cfg = CFG.with_(tile_n=256, precise=True)
+    p = pack_mxu(coo, cfg)
+    f = tmp_path / "packed_mxu.npz"
+    p.save(f)
+    q = PackedSpMatrixMXU.load(f)
+    np.testing.assert_array_equal(p.vals, q.vals)
+    np.testing.assert_array_equal(p.qm, q.qm)
+    np.testing.assert_array_equal(p.bcol, q.bcol)
+    np.testing.assert_array_equal(p.group_mtile, q.group_mtile)
+    assert q.config == cfg
+    assert q.stats == p.stats
+    # format marker rejects cross-loading
+    with pytest.raises(ValueError, match="MXU"):
+        from sextans_tpu.format.pack import pack
+
+        vp = pack(coo, SpmmConfig(tile_m=64, window_k=128, block_k=8,
+                                  group_blocks=16))
+        f2 = tmp_path / "packed_vpu.npz"
+        vp.save(f2)
+        PackedSpMatrixMXU.load(f2)
