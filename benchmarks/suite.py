@@ -126,6 +126,9 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         if split is not None:
             log(f"  hybrid split: {cand.summary()} (cover {dense_cover:.0%})")
 
+    b_dev = jnp.asarray(b)
+    c_dev = jnp.asarray(c)
+
     t0 = time.perf_counter()
     if split is not None:
         from sextans_tpu.ops.hybrid import HybridSpmmPlan
@@ -140,12 +143,40 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         cfg = plan.residue_config
         packed = plan._residue_plan.packed
     else:
-        packed = _pack_for(coo, cfg, fmt, reorder_cols)
-        plan = SpmmPlan(packed, n, backend=backend if backend != "mxu" else "auto")
-    t_pack = time.perf_counter() - t0
+        # Candidate fallback: the scoped-VMEM envelope is shape-dependent
+        # and not fully modelable, so a config can die deterministically at
+        # first compile ("Ran out of memory in memory space vmem"); walk
+        # the top analytic candidates until one runs.
+        if stored is not None or not use_autotune:
+            cands = [(cfg, fmt)]
+        else:
+            from sextans_tpu.utils.autotune import choose_backend as _cb3
 
-    b_dev = jnp.asarray(b)
-    c_dev = jnp.asarray(c)
+            cands = [(r.config, r.fmt) for r in _cb3(coo_for_tuning, n=n, top=3)]
+            if (cfg, fmt) != cands[0]:
+                cands.insert(0, (cfg, fmt))
+        last_err = None
+        plan = None
+        for cfg_i, fmt_i in cands:
+            if fmt_i == "mxu" and backend in ("xla", "pallas", "pallas_interpret"):
+                continue
+            try:
+                packed = _pack_for(coo, cfg_i, fmt_i, reorder_cols)
+                plan = SpmmPlan(
+                    packed, n, backend=backend if backend != "mxu" else "auto"
+                )
+                plan(b_dev, alpha, beta, c_dev)  # compile + first run
+                cfg, fmt = cfg_i, fmt_i
+                break
+            except Exception as e:  # deterministic compile rejection → next
+                last_err = e
+                log(f"  candidate {fmt_i} bk={cfg_i.block_k} tm={cfg_i.tile_m} "
+                    f"wk={cfg_i.window_k} tn={cfg_i.tile_n} failed: "
+                    f"{str(e)[:120]}")
+                plan = None
+        if plan is None:
+            raise last_err if last_err else RuntimeError("no candidate ran")
+    t_pack = time.perf_counter() - t0
 
     rec = {
         "matrix": name,

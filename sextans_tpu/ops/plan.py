@@ -40,7 +40,17 @@ def retry_transient_compile(fn, *args, attempts: int = 3):
             return fn(*args)
         except Exception as e:  # noqa: BLE001 — filtered by signature below
             msg = str(e)
-            transient = "remote_compile" in msg or "HTTP 500" in msg
+            # Deterministic compiler rejections also arrive wrapped in
+            # HTTP 500 — a scoped-VMEM OOM ("Ran out of memory in memory
+            # space vmem ... limit 16.00M") reproduces identically; don't
+            # burn retries on it.
+            deterministic = (
+                "Ran out of memory" in msg or "RESOURCE_EXHAUSTED" in msg
+            )
+            transient = (
+                not deterministic
+                and ("remote_compile" in msg or "HTTP 500" in msg)
+            )
             if not transient or i == attempts - 1:
                 raise
             _time.sleep(1.5 * (i + 1))

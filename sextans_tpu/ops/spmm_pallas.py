@@ -280,6 +280,10 @@ def spmm_pallas_padded(
         out_shape=jax.ShapeDtypeStruct((m_padded, n_padded), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # raise the default 16 MiB scoped-VMEM cap: v5e has far more
+            # physical VMEM, and large-tile configs (the B-restream lever
+            # for big matrices) need it
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=cost,
         interpret=interpret,
