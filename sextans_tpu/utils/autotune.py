@@ -192,6 +192,9 @@ def choose_config(
 # of bk (weight-load / issue bound). Deep blocks therefore win whenever the
 # A-stream DMA they inflate stays under the per-visit saving.
 MXU_BLOCK_CYCLES = 190.0
+# Packed-A inflation ceiling for MXU candidates (bytes of packed vals per
+# nonzero; CSR is ~8, the nasa bk=128 pack is ~127).
+MXU_MAX_BYTES_PER_NNZ = 512.0
 
 
 def block_counts_mxu(
@@ -221,6 +224,11 @@ def choose_config_mxu(
 
     Modeled cycles: blocks * MXU_BLOCK_CYCLES * panels + group overhead +
     (A re-stream per panel + B window refetch per job + C in/out) DMA.
+
+    Candidates whose packed A would exceed ``MXU_MAX_BYTES_PER_NNZ`` are
+    dropped: on scattered patterns the dense-slab format inflates to
+    KB-per-nonzero (scircuit-class measured ~8.7 KB/nnz), which is a
+    host-memory and upload bomb long before it is a kernel-time problem.
     """
     m = max(coo.shape[0], 1)
     counts = block_counts_mxu(coo, block_ks)
@@ -231,6 +239,8 @@ def choose_config_mxu(
         njobs = job_counts(coo, tm, wk)
         for bk, nb in counts.items():
             if bk % 8 != 0 or wk % bk != 0:
+                continue
+            if nb * bk * 128 * 4 > MXU_MAX_BYTES_PER_NNZ * max(coo.nnz, 1):
                 continue
             # group ~512-1024 vals sublanes per DMA step
             gb = max(1, min(64, 1024 // bk))
