@@ -69,15 +69,37 @@ def golden_spmm_exact(
     beta: float = 0.0,
     c: np.ndarray | None = None,
 ) -> np.ndarray:
-    """float64-accumulated oracle for tight error bounds."""
+    """float64-accumulated oracle for tight error bounds.
+
+    scipy's CSR matmul runs the same row-wise left-to-right loop as the
+    reference triple loop, in f64, with O(M*N) memory; the NumPy fallback
+    chunks rows so the nnz-by-N contribution buffer stays bounded (a full
+    materialization is ~190 GB for ldoor-class matrices at N=512).
+    """
     m, k = a.shape
     n = b.shape[1]
     b64 = np.asarray(b, dtype=np.float64)
-    out = np.zeros((m, n), dtype=np.float64)
-    lengths = np.diff(a.indptr)
-    row_ids = np.repeat(np.arange(m), lengths)
-    contrib = a.vals.astype(np.float64)[:, None] * b64[a.indices]
-    np.add.at(out, row_ids, contrib)
+    try:
+        import scipy.sparse as sp
+
+        mat = sp.csr_matrix(
+            (a.vals.astype(np.float64), a.indices, a.indptr.astype(np.int64)),
+            shape=a.shape,
+        )
+        out = np.asarray(mat @ b64, dtype=np.float64)
+    except ImportError:
+        out = np.zeros((m, n), dtype=np.float64)
+        vals64 = a.vals.astype(np.float64)
+        lengths = np.diff(a.indptr)
+        # row-chunked segment add: cap the contribution buffer at ~256 MB
+        chunk_nnz = max(1, (32 << 20) // max(n, 1))
+        row_chunk = max(1, int(chunk_nnz // max(lengths.mean(), 1.0)))
+        for r0 in range(0, m, row_chunk):
+            r1 = min(m, r0 + row_chunk)
+            lo, hi = a.indptr[r0], a.indptr[r1]
+            contrib = vals64[lo:hi, None] * b64[a.indices[lo:hi]]
+            row_ids = np.repeat(np.arange(r0, r1), lengths[r0:r1])
+            np.add.at(out, row_ids, contrib)
     out *= float(alpha)
     if c is not None:
         out += float(beta) * np.asarray(c, dtype=np.float64)
