@@ -43,8 +43,53 @@ def _pack_for(coo, cfg, fmt, reorder_cols):
     return pack(coo, cfg, reorder_cols=reorder_cols)
 
 
+HEALTHY_CANARY_MS = 0.5  # amortized nasa4704-N=512 VPU-default; healthy 0.13-0.30
+CANARY_RETRIES = 10
+CANARY_BACKOFF_S = 60.0
+
+
+def make_fast_canary():
+    """Build a resident canary plan and return a cheap health-probe callable.
+
+    The shared TPU pool shows up-to-18x dispatch-queueing inflation in
+    contended windows (the same compiled program measured 0.76 ms and
+    13.9 ms minutes apart). A row timed during such a window is silently
+    understated, so every row is gated on this canary: amortized wall of a
+    1024-deep in-device repeat chain on nasa4704 N=512 with the fixed
+    round-1 VPU config (healthy v5e: 0.13-0.30 ms/iter). Alpha is perturbed
+    per call to defeat remote result memoization (utils/timing.py).
+    """
+    import jax.numpy as jnp
+
+    from benchmarks.matrices import suite as suite_gens
+    from sextans_tpu.format.pack import pack
+    from sextans_tpu.ops.plan import SpmmPlan
+    from sextans_tpu.utils.config import SpmmConfig
+
+    gens = suite_gens("small")
+    if "nasa4704" not in gens:
+        return None
+    coo = gens["nasa4704"]()
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((coo.shape[1], 512)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((coo.shape[0], 512)).astype(np.float32))
+    plan = SpmmPlan(pack(coo, SpmmConfig()), 512)
+    times = 1024
+    state = {"calls": 0}
+
+    def ms():
+        state["calls"] += 1
+        alpha = 0.85 + state["calls"] * 1e-7
+        t0 = time.perf_counter()
+        np.asarray(plan.repeat(b, alpha, -2.06, c, times=times))
+        return round((time.perf_counter() - t0) / times * 1e3, 3)
+
+    ms()  # compile outside any timed window
+    return ms
+
+
 def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
-            reorder_cols=False, store=None, hybrid="auto"):
+            reorder_cols=False, store=None, hybrid="auto", canary=None):
     import jax.numpy as jnp
 
     from sextans_tpu.format.csr import CSRMatrix
@@ -222,11 +267,38 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     # Adaptive repeat count: the tunnel's fixed dispatch+fetch cost needs
     # T*kernel_time >> jitter for the differential to resolve; start at
     # rp_time and escalate until the measured span is ~0.3s of kernel time.
-    times = rp_time
-    secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=times)
-    while secs * times < 0.3 and times < 4096:
-        times = min(4096, max(times * 4, int(0.35 / max(secs, 1e-6))))
+    def measure():
+        times = rp_time
         secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=times)
+        while secs * times < 0.3 and times < 4096:
+            times = min(4096, max(times * 4, int(0.35 / max(secs, 1e-6))))
+            secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=times)
+        return times, secs
+
+    # Canary-gated timing: refuse to time in a contended pool window (pre
+    # gate), and re-measure if contention arrived mid-row (post gate).
+    secs = None
+    pre = None
+    for attempt in range(CANARY_RETRIES):
+        pre = canary() if canary is not None else None
+        if pre is not None and pre > HEALTHY_CANARY_MS:
+            rec["canary_pre_ms"] = pre
+            log(f"  canary {pre} ms > {HEALTHY_CANARY_MS} (pool contended); "
+                f"backing off {CANARY_BACKOFF_S:.0f}s "
+                f"[{attempt + 1}/{CANARY_RETRIES}]")
+            time.sleep(CANARY_BACKOFF_S)
+            continue
+        times, sample = measure()
+        secs = sample if secs is None else min(secs, sample)
+        post = canary() if canary is not None else None
+        rec["canary_pre_ms"], rec["canary_post_ms"] = pre, post
+        if post is None or post <= HEALTHY_CANARY_MS:
+            break
+        log(f"  post-canary {post} ms unhealthy; re-measuring")
+    else:
+        if secs is None:  # every attempt gated out: measure anyway, flagged
+            times, secs = measure()
+        rec["canary_unhealthy"] = True
     rec["rp_time"] = times
     rec["ms"] = round(secs * 1e3, 3)
     rec["gflops"] = round(gflops(coo.nnz, m, n, secs), 2)
@@ -299,9 +371,11 @@ def main(argv=None):
         "device": str(jax.devices()[0]),
         "platform": jax.devices()[0].platform,
     }
+    canary = None
     if not args.no_canary and jax.devices()[0].platform == "tpu":
-        session["nasa_canary_ms"] = nasa_canary()
-        log(f"session canary (nasa4704 N=512 vpu-default): "
+        canary = make_fast_canary()
+        session["nasa_canary_ms"] = canary()
+        log(f"session canary (nasa4704 N=512 vpu-default, amortized): "
             f"{session['nasa_canary_ms']} ms")
 
     results = []
@@ -319,11 +393,16 @@ def main(argv=None):
                     name, coo, n, args.backend, args.autotune,
                     rp_time=args.rp_time, verify_gate=not args.no_verify,
                     reorder_cols=args.reorder_cols, store=store,
+                    canary=canary,
                 )
             except Exception as e:
                 log(f"  !! {name} N={n} failed: {e!r}")
                 rec = {"matrix": name, "n": n, "error": repr(e)}
             results.append(rec)
+            if args.out:  # incremental flush: a killed run keeps its rows
+                Path(args.out).write_text(
+                    json.dumps({"session": session, "results": results}, indent=1)
+                )
             log(f"  N={n}: {rec.get('gflops', '-')} GFLOPS "
                 f"({rec.get('ms', '-')} ms, fmt={rec.get('fmt')}, "
                 f"bk={rec.get('block_k')}, fill={rec.get('block_fill')}, "
