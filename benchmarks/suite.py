@@ -36,10 +36,13 @@ def log(msg):
 
 def _pack_for(coo, cfg, fmt, reorder_cols):
     from sextans_tpu.format.pack import pack
+    from sextans_tpu.format.pack_edge import pack_edge
     from sextans_tpu.format.pack_mxu import pack_mxu
 
     if fmt == "mxu":
         return pack_mxu(coo, cfg, reorder_cols=reorder_cols)
+    if fmt == "edge":
+        return pack_edge(coo, cfg, reorder_cols=reorder_cols)
     return pack(coo, cfg, reorder_cols=reorder_cols)
 
 

@@ -19,6 +19,7 @@ See SURVEY.md for the reference layer map this framework re-implements.
 from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.format.csr import CSCMatrix, CSRMatrix
 from sextans_tpu.format.pack import PackedSpMatrix, PackStats, pack
+from sextans_tpu.format.pack_edge import PackedSpMatrixEdge, pack_edge
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU, pack_mxu
 from sextans_tpu.io.mtx import MtxHeader, read_mtx, read_mtx_coo, write_mtx
 from sextans_tpu.ops.golden import golden_spmm, golden_spmm_exact, spmm_flops
@@ -53,6 +54,8 @@ __all__ = [
     "write_mtx",
     "pack",
     "pack_mxu",
+    "pack_edge",
+    "PackedSpMatrixEdge",
     "PackedSpMatrixMXU",
     "prepare",
     "plan",

@@ -45,9 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend",
         default="auto",
         choices=["auto", "pallas", "xla", "pallas_interpret", "mxu",
-                 "mxu_interpret"],
-        help="pallas_interpret/mxu_interpret = interpreter-mode kernels "
-        "(the swsim analog); mxu = dense-slab MXU kernel",
+                 "mxu_interpret", "edge", "edge_interpret"],
+        help="*_interpret = interpreter-mode kernels (the swsim analog); "
+        "mxu = dense-slab MXU kernel; edge = structure-independent "
+        "per-nonzero stream",
     )
     p.add_argument(
         "--precise",
@@ -110,11 +111,30 @@ def main(argv=None) -> int:
         if v is not None:
             cfg_kwargs[name] = v
     cfg = SpmmConfig(**cfg_kwargs)
-    fmt = "mxu" if args.backend in ("mxu", "mxu_interpret") else "vpu"
+    fmt = (
+        "mxu"
+        if args.backend in ("mxu", "mxu_interpret")
+        else "edge"
+        if args.backend in ("edge", "edge_interpret")
+        else "vpu"
+    )
     if args.autotune:
-        from sextans_tpu.utils.autotune import choose_backend
+        from sextans_tpu.utils.autotune import (
+            choose_backend,
+            choose_config,
+            choose_config_edge,
+            choose_config_mxu,
+        )
 
-        best = choose_backend(coo, n=n, base=cfg)[0]
+        if args.backend in ("mxu", "mxu_interpret"):
+            picks = choose_config_mxu(coo, base=cfg, n=n)
+        elif args.backend in ("edge", "edge_interpret"):
+            picks = choose_config_edge(coo, base=cfg, n=n)
+        elif args.backend in ("pallas", "pallas_interpret", "xla"):
+            picks = choose_config(coo, base=cfg, n=n)
+        else:  # auto: joint choice across all kernel families
+            picks = choose_backend(coo, n=n, base=cfg)
+        best = picks[0]
         cfg, fmt = best.config, best.fmt
         print(
             f"autotune: fmt={fmt} block_k={cfg.block_k} tile_m={cfg.tile_m} "
@@ -136,6 +156,10 @@ def main(argv=None) -> int:
         from sextans_tpu.format.pack_mxu import pack_mxu
 
         packed = pack_mxu(coo, cfg, reorder_cols=args.reorder_cols)
+    elif fmt == "edge":
+        from sextans_tpu.format.pack_edge import pack_edge
+
+        packed = pack_edge(coo, cfg, reorder_cols=args.reorder_cols)
     else:
         packed = pack(coo, cfg, reorder_cols=args.reorder_cols)
     t_pack = time.perf_counter() - t0

@@ -55,6 +55,10 @@ class PackStats:
     pad_blocks: int  # padding block slots added by grouping
     jobs: int  # distinct (m_tile, k_window) pairs with nonzeros
     empty_mtiles: int
+    # exact packed-A byte count (vals + steering) for formats whose layout
+    # the generic formula below cannot describe (edge-stream format); when
+    # None, bytes_per_nnz derives it from the block geometry.
+    a_bytes: Optional[int] = None
 
     @property
     def block_fill(self) -> float:
@@ -74,6 +78,8 @@ class PackStats:
         (src/sparse_helper.h:406-473). CSR costs ~8 B/nnz."""
         if self.nnz == 0:
             return 0.0
+        if self.a_bytes is not None:
+            return self.a_bytes / self.nnz
         slot_bytes = 4 * (self.slots // max(self.blocks, 1))
         total = (self.blocks + self.pad_blocks) * (slot_bytes + 8)
         return total / self.nnz
@@ -166,7 +172,20 @@ class PackedSpMatrix:
                 ],
                 dtype=np.int64,
             ),
-            stats=np.array(dataclasses.astuple(self.stats), dtype=np.int64),
+            # a_bytes None is stored as 0 (None means "derive from geometry")
+            stats=np.array(
+                [
+                    self.stats.nnz,
+                    self.stats.blocks,
+                    self.stats.slots,
+                    self.stats.groups,
+                    self.stats.pad_blocks,
+                    self.stats.jobs,
+                    self.stats.empty_mtiles,
+                    self.stats.a_bytes or 0,
+                ],
+                dtype=np.int64,
+            ),
             col_perm=(
                 self.col_perm
                 if self.col_perm is not None
@@ -195,7 +214,10 @@ class PackedSpMatrix:
             interleave=bool(cfg_arr[4]),
             **extra,
         )
-        stats = PackStats(*(int(x) for x in z["stats"]))
+        sf = [int(x) for x in z["stats"]]
+        stats = PackStats(
+            *sf[:7], a_bytes=(sf[7] or None) if len(sf) > 7 else None
+        )
         return PackedSpMatrix(
             m=int(z["m"]),
             k=int(z["k"]),

@@ -149,7 +149,10 @@ class PackedSpMatrixMXU:
             chunk_unroll=int(cfg_arr[7]),
             precise=bool(cfg_arr[8]),
         )
-        stats = PackStats(*(int(x) for x in z["stats"]))
+        sf = [int(x) for x in z["stats"]]
+        stats = PackStats(
+            *sf[:7], a_bytes=(sf[7] or None) if len(sf) > 7 else None
+        )
         return PackedSpMatrixMXU(
             m=int(z["m"]),
             k=int(z["k"]),

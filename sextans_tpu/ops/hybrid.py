@@ -249,11 +249,14 @@ class HybridSpmmPlan:
         self.residue_fmt = residue_fmt
         self.residue_config = residue_config
 
-        packed = (
-            pack_mxu(split.residue, residue_config)
-            if residue_fmt == "mxu"
-            else pack(split.residue, residue_config)
-        )
+        if residue_fmt == "mxu":
+            packed = pack_mxu(split.residue, residue_config)
+        elif residue_fmt == "edge":
+            from sextans_tpu.format.pack_edge import pack_edge
+
+            packed = pack_edge(split.residue, residue_config)
+        else:
+            packed = pack(split.residue, residue_config)
         self._residue_plan = SpmmPlan(packed, n, backend=backend)
 
         # device-resident dense components

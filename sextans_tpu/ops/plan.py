@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from sextans_tpu.format.pack import PackedSpMatrix
+from sextans_tpu.format.pack_edge import PackedSpMatrixEdge
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
 from sextans_tpu.utils.config import round_up
 
@@ -72,18 +73,24 @@ class SpmmPlan:
         tile_n: Optional[int] = None,
     ):
         is_mxu = isinstance(packed, PackedSpMatrixMXU)
+        is_edge = isinstance(packed, PackedSpMatrixEdge)
         if backend == "auto":
             # SEXTANS_TPU_BACKEND overrides auto-detection — the analog of the
             # reference's TAPAB env var selecting the bitstream
             # (src/sextans-host.cpp:232-234).
             import os
 
+            on_tpu = jax.devices()[0].platform == "tpu"
             backend = os.environ.get("SEXTANS_TPU_BACKEND") or (
-                ("mxu" if is_mxu else "pallas")
-                if jax.devices()[0].platform == "tpu"
+                ("edge" if on_tpu else "edge_interpret")
+                if is_edge
+                else ("mxu" if is_mxu else "pallas")
+                if on_tpu
                 else ("mxu_interpret" if is_mxu else "xla")
             )
-        if is_mxu != (backend in ("mxu", "mxu_interpret")):
+        if is_mxu != (backend in ("mxu", "mxu_interpret")) or is_edge != (
+            backend in ("edge", "edge_interpret")
+        ):
             raise ValueError(
                 f"backend {backend!r} does not match packed format "
                 f"{type(packed).__name__}"
@@ -96,11 +103,18 @@ class SpmmPlan:
         self.tile_n = tile_n or cfg.resolve_tile_n(n)
         self.n_padded = round_up(n, self.tile_n)
 
-        # one-time device upload of the packed operand
+        # one-time device upload of the packed operand (edge format carries
+        # a single meta array; a 1-int placeholder keeps the 5-tuple shape)
         self._dev = (
             jnp.asarray(packed.vals),
-            jnp.asarray(packed.qm if is_mxu else packed.qrow),
-            jnp.asarray(packed.bcol),
+            jnp.asarray(
+                packed.meta
+                if is_edge
+                else (packed.qm if is_mxu else packed.qrow)
+            ),
+            jnp.asarray(
+                jnp.zeros((1,), jnp.int32) if is_edge else packed.bcol
+            ),
             jnp.asarray(packed.group_mtile),
             jnp.asarray(packed.group_kwin),
         )
@@ -158,6 +172,26 @@ class SpmmPlan:
                 unroll=cfg.chunk_unroll,
                 precise=cfg.precise,
             )
+        elif backend in ("edge", "edge_interpret"):
+            from sextans_tpu.ops.spmm_edge_pallas import spmm_edge_padded
+
+            edge_kwargs = dict(
+                tile_m=cfg.tile_m,
+                window_k=cfg.window_k,
+                edge_chunk=cfg.edge_chunk,
+                tile_n=self.tile_n,
+                interpret=(backend == "edge_interpret"),
+            )
+
+            def run(vals, meta, _ph, gmt, gkw, b_p, c_p, alpha, beta,
+                    with_c=True, **_):
+                return spmm_edge_padded(
+                    vals, meta, gmt, gkw, b_p, c_p, alpha, beta,
+                    with_c=with_c, **edge_kwargs,
+                )
+
+            kernel_kwargs = {}
+            extra = {}
         elif backend in ("pallas", "pallas_interpret"):
             from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded as run
 
@@ -193,7 +227,8 @@ class SpmmPlan:
         # beta == 0 / no-C fast path: the Pallas kernels drop the C_in stream
         # entirely (saves an M x N HBM read per call).
         self._jit_noc = None
-        if backend in ("pallas", "pallas_interpret", "mxu", "mxu_interpret"):
+        if backend in ("pallas", "pallas_interpret", "mxu", "mxu_interpret",
+                       "edge", "edge_interpret"):
 
             def _step_noc(vals, qrow, bcol, gmt, gkw, b, alpha):
                 b_p = jnp.pad(_permute_b(b), ((0, k_padded - k), (0, n_padded - n_)))

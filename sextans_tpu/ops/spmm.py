@@ -22,19 +22,21 @@ import jax.numpy as jnp
 from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.format.csr import CSRMatrix, CSCMatrix
 from sextans_tpu.format.pack import PackedSpMatrix, pack
+from sextans_tpu.format.pack_edge import PackedSpMatrixEdge
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
 from sextans_tpu.utils.config import SpmmConfig
 
 __all__ = ["spmm", "prepare", "plan"]
 
 MatrixLike = Union[
-    PackedSpMatrix, PackedSpMatrixMXU, COOMatrix, CSRMatrix, CSCMatrix
+    PackedSpMatrix, PackedSpMatrixMXU, PackedSpMatrixEdge,
+    COOMatrix, CSRMatrix, CSCMatrix,
 ]
 
 
 def prepare(a: MatrixLike, config: Optional[SpmmConfig] = None) -> PackedSpMatrix:
     """Coerce any supported sparse container into the packed block format."""
-    if isinstance(a, (PackedSpMatrix, PackedSpMatrixMXU)):
+    if isinstance(a, (PackedSpMatrix, PackedSpMatrixMXU, PackedSpMatrixEdge)):
         return a
     cfg = config or SpmmConfig()
     if isinstance(a, (CSRMatrix, CSCMatrix)):

@@ -36,6 +36,7 @@ from sextans_tpu.utils.config import SpmmConfig, cdiv
 __all__ = [
     "choose_config",
     "choose_config_mxu",
+    "choose_config_edge",
     "choose_backend",
     "autotune",
     "block_counts",
@@ -278,19 +279,87 @@ def choose_config_mxu(
     return results[:top]
 
 
+# Edge-stream kernel (ops/spmm_edge_pallas.py) per-edge cost: SMEM decode +
+# one (1, tile_n) gather-FMA + amortized row flush. Provisional until
+# calibrated on v5e (benchmarks/tune_kernel.py probes); the fixed scalar
+# term dominates at every tile_n.
+EDGE_CYCLES_FIXED = 14.0
+EDGE_CYCLES_PER_128LANES = 0.5
+
+
+def choose_config_edge(
+    coo: COOMatrix,
+    base: SpmmConfig = SpmmConfig(),
+    tile_ms: Sequence[int] = (4096, 8192, 16384),
+    tile_ns: Sequence[int] = (128, 256, 512),
+    window_ks: Sequence[int] = (8192, 16384, 32768),
+    top: int = 1,
+    n: int = 512,
+) -> List[TuneResult]:
+    """Analytic config choice for the structure-independent edge-stream
+    kernel; best first. Cost is pattern-independent per edge (the format
+    never pads beyond job-chunk tails), so this family wins exactly where
+    block fill collapses — scattered/power-law residues."""
+    from sextans_tpu.format.pack_edge import MAX_TILE_M, MAX_WINDOW_K
+
+    m = max(coo.shape[0], 1)
+    nnz = max(coo.nnz, 1)
+    E = base.edge_chunk
+    results = []
+    for tm in tile_ms:
+        if tm > MAX_TILE_M:
+            continue
+        for wk in window_ks:
+            if wk > MAX_WINDOW_K:
+                continue
+            njobs = job_counts(coo, tm, wk)
+            padded_edges = nnz + njobs * E // 2
+            nchunks = max(1, cdiv(padded_edges, E))
+            a_bytes = 8 * nchunks * E
+            cfg = base.with_(tile_m=tm, window_k=wk)
+            for tn in tile_ns:
+                if tn > ((n + 127) // 128) * 128:
+                    continue
+                vmem = 4 * (
+                    tm * tn + 4 * tm * tn + 2 * wk * tn
+                ) + 16 * E
+                if vmem > VMEM_BUDGET:
+                    continue
+                panels = max(1, cdiv(n, tn))
+                cost = (
+                    padded_edges
+                    * (EDGE_CYCLES_FIXED + EDGE_CYCLES_PER_128LANES * tn / 128)
+                    * panels
+                    + nchunks * C_GROUP * panels
+                    + (
+                        njobs * wk * 4 * n
+                        + 2 * m * n * 4
+                        + a_bytes * panels
+                    )
+                    / BYTES_PER_CYCLE
+                )
+                results.append(
+                    TuneResult(cfg.with_(tile_n=tn), cost, fmt="edge")
+                )
+    results.sort(key=lambda r: r.predicted_cost)
+    return results[:top]
+
+
 def choose_backend(
     coo: COOMatrix,
     n: int = 512,
     base: SpmmConfig = SpmmConfig(),
     top: int = 1,
 ) -> List[TuneResult]:
-    """Joint analytic choice across both kernel families (VPU block format
-    vs MXU dense-slab format) — the per-sparsity-pattern dispatch the
-    reference resolves at bitstream-build time. Returns the merged top-N,
-    best first; ``TuneResult.fmt`` says which pack pass to run."""
+    """Joint analytic choice across the three kernel families (VPU block
+    format, MXU dense-slab format, structure-independent edge stream) — the
+    per-sparsity-pattern dispatch the reference resolves at bitstream-build
+    time. Returns the merged top-N, best first; ``TuneResult.fmt`` says
+    which pack pass to run."""
     vpu = choose_config(coo, base, top=max(top, 1), n=n)
     mxu = choose_config_mxu(coo, base, top=max(top, 1), n=n)
-    merged = sorted(vpu + mxu, key=lambda r: r.predicted_cost)
+    edge = choose_config_edge(coo, base, top=max(top, 1), n=n)
+    merged = sorted(vpu + mxu + edge, key=lambda r: r.predicted_cost)
     return merged[:top]
 
 
@@ -312,12 +381,14 @@ def autotune(
     import jax.numpy as jnp
 
     from sextans_tpu.format.pack import pack
+    from sextans_tpu.format.pack_edge import pack_edge
     from sextans_tpu.format.pack_mxu import pack_mxu
     from sextans_tpu.ops.plan import SpmmPlan
     from sextans_tpu.utils.timing import time_repeat
 
     cands = choose_config(coo, base, block_ks, top=candidates, n=n)
     cands += choose_config_mxu(coo, base, top=max(1, candidates - 1), n=n)
+    cands += choose_config_edge(coo, base, top=1, n=n)
     m, k = coo.shape
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
@@ -329,6 +400,9 @@ def autotune(
         try:
             if cand.fmt == "mxu":
                 packed = pack_mxu(coo, cand.config)
+                plan = SpmmPlan(packed, n, backend="auto")
+            elif cand.fmt == "edge":
+                packed = pack_edge(coo, cand.config)
                 plan = SpmmPlan(packed, n, backend="auto")
             else:
                 packed = pack(coo, cand.config)

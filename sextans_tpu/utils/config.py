@@ -101,6 +101,11 @@ class SpmmConfig:
     # Pallas kernels (extra VMEM compensation buffer): lands within ~1 ulp
     # of the float64 oracle at a modest throughput cost (docs/ACCURACY.md).
     precise: bool = False
+    # edge_chunk — edges per grid step of the edge-stream kernel
+    # (format/pack_edge.py + ops/spmm_edge_pallas.py), the structure-
+    # independent path: per-edge decode like the reference PEG
+    # (src/sextans.cpp:388-419), no block padding at all.
+    edge_chunk: int = 2048
 
     def __post_init__(self):
         if self.tile_m % 8 != 0 or self.tile_m <= 0:
@@ -117,6 +122,8 @@ class SpmmConfig:
             raise ValueError("tile_n must be a multiple of 128 (TPU lane count)")
         if self.n_acc < 1 or self.chunk_unroll < 1:
             raise ValueError("n_acc and chunk_unroll must be >= 1")
+        if self.edge_chunk <= 0 or self.edge_chunk % 8 != 0:
+            raise ValueError("edge_chunk must be a positive multiple of 8")
 
     def validate_vpu(self) -> None:
         """Extra constraints of the VPU block format (format/pack.py +

@@ -1,0 +1,170 @@
+"""Edge-stream backend: pack + kernel (interpret mode) vs the golden oracle.
+
+The swsim-analog coverage (SURVEY.md §4) for the third packed format —
+the structure-independent per-nonzero path (format/pack_edge.py +
+ops/spmm_edge_pallas.py), the parity answer to the reference PEG's
+arbitrary-column decode (src/sextans.cpp:388-419).
+"""
+
+import numpy as np
+import pytest
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.format.csr import CSRMatrix
+from sextans_tpu.format.pack_edge import PackedSpMatrixEdge, pack_edge
+from sextans_tpu.ops.golden import golden_spmm_exact
+from sextans_tpu.ops.plan import SpmmPlan
+from sextans_tpu.utils.config import SpmmConfig
+from sextans_tpu.utils.verify import verify
+
+CFG = SpmmConfig(tile_m=256, window_k=256, edge_chunk=128)
+
+
+def _run(coo, n, cfg=CFG, alpha=0.85, beta=-2.06, c=None, seed=0, **pk):
+    rng = np.random.default_rng(seed)
+    m, k = coo.shape
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    if beta != 0.0 and c is None:
+        c = rng.standard_normal((m, n)).astype(np.float32)
+    packed = pack_edge(coo, cfg, **pk)
+    plan = SpmmPlan(packed, n, backend="edge_interpret")
+    got = np.asarray(plan(b, alpha, beta, c))
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, alpha, beta, c)
+    return got, want
+
+
+def test_edge_matches_golden_basic():
+    coo = COOMatrix.random(500, 700, 4000, seed=1)
+    got, want = _run(coo, 96)
+    res = verify(want, got)
+    assert res.passed, res
+    assert res.max_abs_err < 1e-5, res
+
+
+def test_edge_scattered_powerlaw():
+    """The format's home turf: scattered matrix where block fill collapses."""
+    rng = np.random.default_rng(7)
+    m = k = 2000
+    nnz = 12000
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    # zipf-ish column skew
+    cols = np.minimum((rng.pareto(1.2, nnz) * 10).astype(np.int64), k - 1)
+    cols = cols.astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    coo = COOMatrix((m, k), rows, cols, vals)  # duplicates get summed
+    got, want = _run(coo, 128)
+    res = verify(want, got)
+    assert res.passed, res
+
+
+def test_edge_beta_zero_no_c():
+    coo = COOMatrix.random(300, 300, 2500, seed=3)
+    got, want = _run(coo, 64, alpha=1.5, beta=0.0)
+    assert verify(want, got).passed
+
+
+def test_edge_multi_window_multi_tile():
+    """Rows/cols spanning several M-tiles and K-windows; chunk smaller than
+    most jobs so rows split across chunks (double-flush path)."""
+    cfg = SpmmConfig(tile_m=64, window_k=64, edge_chunk=32)
+    coo = COOMatrix.random(400, 500, 6000, seed=4)
+    got, want = _run(coo, 96, cfg=cfg)
+    res = verify(want, got)
+    assert res.passed, res
+
+
+def test_edge_dense_rows():
+    """A few dense rows exercise long register runs within one chunk."""
+    m, k = 128, 512
+    rng = np.random.default_rng(5)
+    rows = np.repeat(np.array([3, 50, 100], np.int32), k)
+    cols = np.tile(np.arange(k, dtype=np.int32), 3)
+    vals = rng.standard_normal(3 * k).astype(np.float32)
+    coo = COOMatrix((m, k), rows, cols, vals)
+    got, want = _run(coo, 96, cfg=SpmmConfig(tile_m=128, window_k=256,
+                                             edge_chunk=64))
+    assert verify(want, got).passed
+
+
+def test_edge_empty_matrix():
+    coo = COOMatrix((64, 64), np.empty(0, np.int32), np.empty(0, np.int32),
+                    np.empty(0, np.float32))
+    got, want = _run(coo, 32)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_edge_pack_stats_exact_bytes():
+    coo = COOMatrix.random(500, 700, 4000, seed=1)
+    p = pack_edge(coo, CFG)
+    # 8 bytes per packed slot (f32 val + i32 meta), no block inflation
+    assert p.stats.a_bytes == 8 * p.n_chunks * CFG.edge_chunk
+    assert p.stats.bytes_per_nnz < 8 * 3  # padding ≤ 3x on this density
+    assert p.stats.block_fill == p.nnz / p.stats.slots
+
+
+def test_edge_pack_meta_roundtrip():
+    """Decode the packed meta words back to coordinates and compare."""
+    from sextans_tpu.format.pack_edge import COL_SHIFT, ROW_SHIFT
+
+    coo = COOMatrix.random(300, 400, 3000, seed=9)
+    cfg = SpmmConfig(tile_m=128, window_k=128, edge_chunk=64)
+    p = pack_edge(coo, cfg)
+    got = {}
+    for c in range(p.n_chunks):
+        mt, kw = int(p.chunk_mtile[c]), int(p.chunk_kwin[c])
+        for e in range(cfg.edge_chunk):
+            v = float(p.vals[c, 0, e])
+            w = int(p.meta[c, 0, e])
+            if v == 0.0:
+                continue
+            r = mt * cfg.tile_m + (w >> ROW_SHIFT)
+            cc = kw * cfg.window_k + (
+                (w >> COL_SHIFT) & ((1 << (ROW_SHIFT - COL_SHIFT)) - 1)
+            )
+            got[(r, cc)] = got.get((r, cc), 0.0) + v
+    want = {}
+    for r, cc, v in zip(coo.rows, coo.cols, coo.vals):
+        want[(int(r), int(cc))] = want.get((int(r), int(cc)), 0.0) + float(v)
+    want = {k_: v for k_, v in want.items() if v != 0.0}
+    assert got.keys() == want.keys()
+    for key in want:
+        np.testing.assert_allclose(got[key], want[key], rtol=1e-6)
+
+
+def test_edge_save_load_roundtrip(tmp_path):
+    coo = COOMatrix.random(300, 400, 3000, seed=11)
+    cfg = SpmmConfig(tile_m=128, window_k=128, edge_chunk=64)
+    p = pack_edge(coo, cfg)
+    f = tmp_path / "edge.npz"
+    p.save(f)
+    q = PackedSpMatrixEdge.load(f)
+    assert q.shape == p.shape and q.nnz == p.nnz
+    assert q.config.edge_chunk == 64 and q.config.tile_m == 128
+    np.testing.assert_array_equal(q.vals, p.vals)
+    np.testing.assert_array_equal(q.meta, p.meta)
+    np.testing.assert_array_equal(q.chunk_mtile, p.chunk_mtile)
+    assert q.stats.a_bytes == p.stats.a_bytes
+
+
+def test_edge_capacity_limits():
+    coo = COOMatrix.random(64, 64, 100, seed=1)
+    with pytest.raises(ValueError, match="tile_m"):
+        pack_edge(coo, SpmmConfig(tile_m=32768, window_k=256))
+    with pytest.raises(ValueError, match="window_k"):
+        pack_edge(coo, SpmmConfig(tile_m=256, window_k=65536))
+
+
+def test_edge_reorder_cols():
+    """Degree-sorted column pack: the plan must feed B in permuted order."""
+    coo = COOMatrix.random(300, 400, 3000, seed=13)
+    rng = np.random.default_rng(0)
+    m, k = coo.shape
+    b = rng.standard_normal((k, 64)).astype(np.float32)
+    c = rng.standard_normal((m, 64)).astype(np.float32)
+    packed = pack_edge(coo, SpmmConfig(tile_m=128, window_k=128,
+                                       edge_chunk=64), reorder_cols=True)
+    assert packed.col_perm is not None
+    plan = SpmmPlan(packed, 64, backend="edge_interpret")
+    got = np.asarray(plan(b, 0.85, -2.06, c))
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    assert verify(want, got).passed
