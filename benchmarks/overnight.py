@@ -1,0 +1,128 @@
+"""Overnight benchmark driver: repeated suite passes + canonical merge.
+
+The shared TPU pool's contention windows last minutes-to-hours, so one
+suite pass cannot produce healthy timings for every row. This driver loops
+full suite passes (each row canary-gated, benchmarks/suite.py) until a
+wall-clock budget expires, then merges all passes into ONE canonical
+results file: per (matrix, N) row, the fastest *canary-healthy* sample —
+contention only ever understates a dependency-chained timing, so max-GFLOPS
+among healthy rows is the least-biased estimator (see report.py).
+
+Every merged row keeps its pass file, session header, and per-row canary,
+so each published number is traceable (VERDICT round-1 item 7).
+
+Usage:
+    python benchmarks/overnight.py --hours 8 [--scale full]
+        [--n 16 128 512] [--out benchmarks/results_r2.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE.parent))
+
+
+def log(msg):
+    print(f"[overnight {datetime.now().strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def merge(pass_files, out_path):
+    from benchmarks.report import HEALTHY_CANARY_MS, canary_rank
+
+    best = {}
+    for p in pass_files:
+        try:
+            doc = json.loads(Path(p).read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        ses = doc.get("session", {})
+        for r in doc.get("results", []):
+            if "gflops" not in r:
+                continue
+            key = (r["matrix"], r["n"])
+            cand = dict(r)
+            cand["session"] = ses
+            cand["pass_file"] = str(p)
+            prev = best.get(key)
+            if prev is None:
+                best[key] = cand
+                continue
+            ch = canary_rank(cand, ses) <= HEALTHY_CANARY_MS
+            ph = canary_rank(prev, prev["session"]) <= HEALTHY_CANARY_MS
+            if (ch and not ph) or (
+                ch == ph and cand["gflops"] > prev["gflops"]
+            ):
+                best[key] = cand
+    rows = [best[k] for k in sorted(best)]
+    doc = {
+        "merged_at": datetime.now(timezone.utc).isoformat(),
+        "merged_from": [str(p) for p in pass_files],
+        "results": rows,
+    }
+    Path(out_path).write_text(json.dumps(doc, indent=1))
+    healthy = sum(
+        1 for r in rows
+        if canary_rank(r, r["session"]) <= HEALTHY_CANARY_MS
+    )
+    log(f"merged {len(pass_files)} passes -> {out_path}: "
+        f"{len(rows)} rows, {healthy} canary-healthy")
+    return doc
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hours", type=float, default=6.0)
+    ap.add_argument("--scale", default="full")
+    ap.add_argument("--n", type=int, nargs="+", default=[16, 128, 512])
+    ap.add_argument("--out", default=str(HERE / "results_r2.json"))
+    ap.add_argument("--pass-dir", default=str(HERE / "passes"))
+    ap.add_argument("--max-passes", type=int, default=20)
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="extra args forwarded to suite.py")
+    args = ap.parse_args(argv)
+
+    pass_dir = Path(args.pass_dir)
+    pass_dir.mkdir(parents=True, exist_ok=True)
+    deadline = time.time() + args.hours * 3600
+
+    existing = sorted(pass_dir.glob("pass_*.json"))
+    i = len(existing)
+    while time.time() < deadline and i < args.max_passes:
+        i += 1
+        out = pass_dir / f"pass_{i:02d}.json"
+        cmd = [
+            sys.executable, str(HERE / "suite.py"),
+            "--scale", args.scale,
+            "--n", *[str(n) for n in args.n],
+            "--autotune",
+            "--canary-retries", "3",
+            "--deadline-ts", str(deadline),
+            "--out", str(out),
+            *args.extra,
+        ]
+        log(f"pass {i}: {' '.join(cmd)}")
+        # the suite exits cleanly at --deadline-ts between rows; the
+        # subprocess timeout is only a generous backstop (a hard kill
+        # mid-dispatch can wedge the TPU relay)
+        budget = max(60, int(deadline - time.time())) + 2400
+        try:
+            subprocess.run(cmd, timeout=budget,
+                           stdout=subprocess.DEVNULL)
+        except subprocess.TimeoutExpired:
+            log(f"pass {i} hit the backstop timeout; merging what exists")
+        merge(sorted(pass_dir.glob("pass_*.json")), args.out)
+    log("done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,7 +92,8 @@ def make_fast_canary():
 
 
 def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
-            reorder_cols=False, store=None, hybrid="auto", canary=None):
+            reorder_cols=False, store=None, hybrid="auto", canary=None,
+            canary_retries=CANARY_RETRIES):
     import jax.numpy as jnp
 
     from sextans_tpu.format.csr import CSRMatrix
@@ -282,13 +283,13 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     # gate), and re-measure if contention arrived mid-row (post gate).
     secs = None
     pre = None
-    for attempt in range(CANARY_RETRIES):
+    for attempt in range(canary_retries):
         pre = canary() if canary is not None else None
         if pre is not None and pre > HEALTHY_CANARY_MS:
             rec["canary_pre_ms"] = pre
             log(f"  canary {pre} ms > {HEALTHY_CANARY_MS} (pool contended); "
                 f"backing off {CANARY_BACKOFF_S:.0f}s "
-                f"[{attempt + 1}/{CANARY_RETRIES}]")
+                f"[{attempt + 1}/{canary_retries}]")
             time.sleep(CANARY_BACKOFF_S)
             continue
         times, sample = measure()
@@ -343,6 +344,11 @@ def main(argv=None):
     ap.add_argument("--autotune", action="store_true")
     ap.add_argument("--reorder-cols", action="store_true")
     ap.add_argument("--rp-time", type=int, default=10)
+    ap.add_argument("--canary-retries", type=int, default=CANARY_RETRIES,
+                    help="contended-pool backoff attempts per row")
+    ap.add_argument("--deadline-ts", type=float, default=None,
+                    help="unix timestamp: stop cleanly before the next row "
+                         "once reached (no mid-dispatch kill needed)")
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--no-canary", action="store_true")
     ap.add_argument("--only", default=None, help="substring filter on matrix name")
@@ -382,21 +388,30 @@ def main(argv=None):
             f"{session['nasa_canary_ms']} ms")
 
     results = []
+    stopped = False
     for name, gen in suite(args.scale).items():
         if args.only and args.only not in name:
             continue
+        if args.deadline_ts and time.time() > args.deadline_ts:
+            log("deadline reached; stopping before next matrix")
+            stopped = True
+            break
         log(f"== {name} ==")
         t0 = time.perf_counter()
         coo = gen()
         log(f"  generated/loaded in {time.perf_counter()-t0:.1f}s: "
             f"{coo.shape} nnz={coo.nnz}")
         for n in args.n:
+            if args.deadline_ts and time.time() > args.deadline_ts:
+                log("deadline reached; stopping before next row")
+                stopped = True
+                break
             try:
                 rec = run_one(
                     name, coo, n, args.backend, args.autotune,
                     rp_time=args.rp_time, verify_gate=not args.no_verify,
                     reorder_cols=args.reorder_cols, store=store,
-                    canary=canary,
+                    canary=canary, canary_retries=args.canary_retries,
                 )
             except Exception as e:
                 log(f"  !! {name} N={n} failed: {e!r}")
