@@ -33,7 +33,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from benchmarks.matrices import suite as suite_gens
-    from benchmarks.suite import nasa_canary
+    from benchmarks.suite import HEALTHY_CANARY_MS, make_fast_canary
     from sextans_tpu.format.csr import CSRMatrix
     from sextans_tpu.format.pack import pack
     from sextans_tpu.format.pack_mxu import pack_mxu
@@ -48,10 +48,11 @@ def main(argv=None):
     log(f"devices: {jax.devices()}")
     coo = suite_gens("small")["nasa4704"]()
     m, k = coo.shape
+    canary = make_fast_canary()
     session = {
         "timestamp": datetime.now(timezone.utc).isoformat(),
         "device": str(jax.devices()[0]),
-        "nasa_canary_ms": nasa_canary(),
+        "nasa_canary_ms": canary(),
     }
     log(f"canary: {session['nasa_canary_ms']} ms")
 
@@ -78,6 +79,16 @@ def main(argv=None):
                                 backend="pallas" if fmt == "vpu" else "mxu")
                 got = np.asarray(plan(b_dev, alpha, beta, c_dev))
                 ver = verify(ref, got)
+                # canary-gated timing (same protocol as suite.py)
+                import time as _t
+
+                pre = None
+                for attempt in range(6):
+                    pre = canary()
+                    if pre <= HEALTHY_CANARY_MS:
+                        break
+                    log(f"  canary {pre} ms: contended, backing off 60s")
+                    _t.sleep(60)
                 times = 256
                 secs = time_repeat(plan, b_dev, alpha, beta, c_dev,
                                    times=times)
@@ -85,12 +96,16 @@ def main(argv=None):
                     times = min(4096, int(0.35 / max(secs, 1e-6)))
                     secs = time_repeat(plan, b_dev, alpha, beta, c_dev,
                                        times=times)
+                post = canary()
                 row = {
                     "n": n, "fmt": fmt, "ms": round(secs * 1e3, 4),
                     "gflops": round(gflops(coo.nnz, m, n, secs), 1),
                     "verify": "pass" if ver.passed else "FAIL",
                     "ct_kernel": fmt == "mxu" and n <= 32,
+                    "canary_pre_ms": pre, "canary_post_ms": post,
                 }
+                if post > HEALTHY_CANARY_MS:
+                    row["canary_unhealthy"] = True
             except Exception as e:
                 row = {"n": n, "fmt": fmt, "error": repr(e)[:160]}
             rows.append(row)
