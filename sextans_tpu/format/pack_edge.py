@@ -104,6 +104,7 @@ class PackedSpMatrixEdge:
                     self.config.window_k,
                     self.config.edge_chunk,
                     -1 if self.config.tile_n is None else self.config.tile_n,
+                    self.config.edge_lanes,
                 ],
                 dtype=np.int64,
             ),
@@ -137,12 +138,14 @@ class PackedSpMatrixEdge:
         if "fmt" not in z or str(z["fmt"][0]) != "edge":
             raise ValueError(f"{path} is not an edge-format pack file")
         m, k, nnz = (int(x) for x in z["shape"])
-        tm, wk, ec, tn = (int(x) for x in z["cfg"])
+        cf = [int(x) for x in z["cfg"]]
+        tm, wk, ec, tn = cf[:4]
         cfg = SpmmConfig(
             tile_m=tm,
             window_k=wk,
             edge_chunk=ec,
             tile_n=None if tn < 0 else tn,
+            edge_lanes=cf[4] if len(cf) > 4 else 1,
         )
         s = [int(x) for x in z["stats"]]
         stats = PackStats(
@@ -213,6 +216,7 @@ def pack_edge(
 
     rows = coo.rows.astype(np.int64)
     cols = coo.cols.astype(np.int64)
+    L = config.edge_lanes
 
     mt = rows // tm
     kwin = cols // wk
@@ -224,46 +228,88 @@ def pack_edge(
     cl = (cols % wk)[order].astype(np.int64)
     v_s = coo.vals[order].astype(np.float32)
 
-    # job id per edge → chunk layout: each job's edges occupy
-    # ceil(len/E) chunks, the last padded.
     new_job = np.ones(nnz, dtype=bool)
     if nnz > 1:
         new_job[1:] = (mt_s[1:] != mt_s[:-1]) | (kw_s[1:] != kw_s[:-1])
     job_of_edge = np.cumsum(new_job) - 1
     n_jobs = int(job_of_edge[-1]) + 1
-    job_first = np.flatnonzero(new_job)
-    job_len = np.diff(np.append(job_first, nnz))
-    job_chunks = -(-job_len // E)
+
+    # row runs (maximal same-row stretches within a job), padded to a
+    # multiple of L so the kernel's L independent accumulation registers
+    # always hold partials of ONE row (the ILP trade: pad slots vs a serial
+    # register FMA chain).
+    new_run = new_job.copy()
+    if nnz > 1:
+        new_run[1:] |= rl[1:] != rl[:-1]
+    run_of_edge = np.cumsum(new_run) - 1
+    run_first = np.flatnonzero(new_run)
+    n_runs = run_first.size
+    run_len = np.diff(np.append(run_first, nnz))
+    run_padlen = -(-run_len // L) * L
+    run_row = rl[run_first]
+    run_job = job_of_edge[run_first]
+
+    pad_cum = np.concatenate([[0], np.cumsum(run_padlen)])
+    # index of each job's first run in run numbering
+    job_first_run_idx = run_of_edge[np.flatnonzero(new_job)]
+    job_pad_base = pad_cum[job_first_run_idx]
+    run_off_in_job = pad_cum[:n_runs] - job_pad_base[run_job]
+
+    job_padlen = np.concatenate(
+        [job_pad_base[1:], [pad_cum[-1]]]
+    ) - job_pad_base
+    job_chunks = -(-job_padlen // E)
     chunk_of_job = np.concatenate([[0], np.cumsum(job_chunks)])
     n_chunks = int(chunk_of_job[-1])
 
-    # destination slot of each edge: its job's chunk base + offset
-    off_in_job = np.arange(nnz, dtype=np.int64) - job_first[job_of_edge]
-    dst = chunk_of_job[job_of_edge] * E + off_in_job
+    idx_in_run = np.arange(nnz, dtype=np.int64) - run_first[run_of_edge]
+    dst_in_job = run_off_in_job[run_of_edge] + idx_in_run
+    dst = chunk_of_job[job_of_edge] * E + dst_in_job
 
     vals = np.zeros((n_chunks, 1, E), np.float32)
     meta = np.zeros((n_chunks, 1, E), np.int32)
-
-    # row_end: last edge of its row within the chunk (row change, job
-    # change, chunk boundary, or final edge)
-    row_end = np.ones(nnz, dtype=bool)
-    if nnz > 1:
-        same_next = (
-            (rl[1:] == rl[:-1])
-            & (job_of_edge[1:] == job_of_edge[:-1])
-            & (dst[1:] // E == dst[:-1] // E)
-        )
-        row_end[:-1] = ~same_next
-
-    word = (
-        (rl.astype(np.int64) << ROW_SHIFT)
-        | (cl.astype(np.int64) << COL_SHIFT)
-        | (row_end.astype(np.int64) << 1)
-    ).astype(np.int32)
     flat_v = vals.reshape(-1)
     flat_m = meta.reshape(-1)
+
+    # real edges: row_end iff final slot of a pad-free run
+    real_end = (idx_in_run == (run_len - 1)[run_of_edge]) & (
+        (run_padlen == run_len)[run_of_edge]
+    )
+    word = (
+        (rl << ROW_SHIFT) | (cl << COL_SHIFT) | (real_end.astype(np.int64) << 1)
+    ).astype(np.int32)
     flat_v[dst] = v_s
     flat_m[dst] = word
+
+    # pad slots: value 0, col 0, the RUN's row (a chunk-end forced flush can
+    # land on any in-run slot and must write the right row); the final pad
+    # of each run carries row_end.
+    pad_counts = run_padlen - run_len
+    padded_runs = np.flatnonzero(pad_counts > 0)
+    if padded_runs.size:
+        reps = pad_counts[padded_runs]
+        pr = np.repeat(padded_runs, reps)
+        # offset of each pad slot within its run's padding
+        off = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        pad_dst = (
+            chunk_of_job[run_job[pr]] * E
+            + run_off_in_job[pr]
+            + run_len[pr]
+            + off
+        )
+        is_final = off == np.repeat(reps - 1, reps)
+        pad_word = (
+            (run_row[pr] << ROW_SHIFT) | (is_final.astype(np.int64) << 1)
+        ).astype(np.int32)
+        flat_m[pad_dst] = pad_word
+
+    # chunk-end forced flush: a run straddling a chunk boundary must flush
+    # its register partials before the grid step ends (slot E-1 always has
+    # either the straddling run's row or an empty word whose zero-add to
+    # row 0 is harmless)
+    flat_m[E - 1 :: E] |= 2
 
     # M-tiles with no edges still need a beta*C epilogue chunk (all-padding)
     occupied = np.zeros(n_mtiles, dtype=bool)
@@ -273,8 +319,9 @@ def pack_edge(
 
     chunk_mtile = np.full(n_total + 1, -1, np.int32)
     chunk_kwin = np.zeros(n_total, np.int32)
-    jm = mt_s[job_first].astype(np.int32)
-    jk = kw_s[job_first].astype(np.int32)
+    job_first_edge = np.flatnonzero(new_job)
+    jm = mt_s[job_first_edge].astype(np.int32)
+    jk = kw_s[job_first_edge].astype(np.int32)
     for j in range(n_jobs):
         c0, c1 = int(chunk_of_job[j]), int(chunk_of_job[j + 1])
         chunk_mtile[c0:c1] = jm[j]

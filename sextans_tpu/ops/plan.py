@@ -179,6 +179,7 @@ class SpmmPlan:
                 tile_m=cfg.tile_m,
                 window_k=cfg.window_k,
                 edge_chunk=cfg.edge_chunk,
+                edge_lanes=cfg.edge_lanes,
                 tile_n=self.tile_n,
                 interpret=(backend == "edge_interpret"),
             )

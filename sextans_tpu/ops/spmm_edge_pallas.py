@@ -51,6 +51,7 @@ def _kernel(
     *rest,  # [cin_ref,] out_ref, acc_ref
     edge_chunk: int,
     tile_n: int,
+    lanes: int,
     with_c: bool,
 ):
     if with_c:
@@ -69,27 +70,40 @@ def _kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     col_mask = (1 << (ROW_SHIFT - COL_SHIFT)) - 1
+    L = lanes
 
-    def body(e, reg):
-        word = meta_ref[0, 0, e]
-        v = vals_ref[0, 0, e]
-        col = (word >> COL_SHIFT) & col_mask
-        reg = reg + v * b_ref[0, pl.ds(col, 1), :]  # (1, tile_n)
-        row_end = (word & 2) != 0
+    def body(t, carry):
+        # L edges per iteration, one per independent register: the packer
+        # pads row runs to a multiple of L, so all registers always hold
+        # partials of the SAME row and row_end can only sit on lane L-1 —
+        # the L-way ILP that breaks the serial register FMA chain.
+        base = t * L
+        words = [meta_ref[0, 0, base + j] for j in range(L)]
+        new = []
+        for j in range(L):
+            col = (words[j] >> COL_SHIFT) & col_mask
+            v = vals_ref[0, 0, base + j]
+            new.append(carry[j] + v * b_ref[0, pl.ds(col, 1), :])
+        wlast = words[L - 1]
+        row_end = (wlast & 2) != 0
 
         @pl.when(row_end)
         def _flush():
-            row = word >> ROW_SHIFT
-            acc_ref[pl.ds(row, 1), :] += reg
+            row = wlast >> ROW_SHIFT
+            total = new[0]
+            for j in range(1, L):
+                total = total + new[j]
+            acc_ref[pl.ds(row, 1), :] += total
 
-        # predicated reset: cheaper than re-entering pl.when for the value
-        return jnp.where(row_end, jnp.zeros_like(reg), reg)
+        # predicated reset (scalar broadcast multiply)
+        keep = jnp.where(row_end, jnp.float32(0), jnp.float32(1))
+        return tuple(x * keep for x in new)
 
     jax.lax.fori_loop(
         0,
-        edge_chunk,
+        edge_chunk // L,
         body,
-        jnp.zeros((1, tile_n), jnp.float32),
+        tuple(jnp.zeros((1, tile_n), jnp.float32) for _ in range(L)),
     )
 
     @pl.when(is_last)
@@ -106,6 +120,7 @@ def _kernel(
         "tile_m",
         "window_k",
         "edge_chunk",
+        "edge_lanes",
         "tile_n",
         "interpret",
         "with_c",
@@ -125,6 +140,7 @@ def spmm_edge_padded(
     window_k: int,
     edge_chunk: int,
     tile_n: int,
+    edge_lanes: int = 1,
     interpret: bool = False,
     with_c: bool = True,
 ) -> jax.Array:
@@ -178,6 +194,7 @@ def spmm_edge_padded(
         _kernel,
         edge_chunk=edge_chunk,
         tile_n=tile_n,
+        lanes=edge_lanes,
         with_c=with_c,
     )
 

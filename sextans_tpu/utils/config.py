@@ -106,6 +106,11 @@ class SpmmConfig:
     # independent path: per-edge decode like the reference PEG
     # (src/sextans.cpp:388-419), no block padding at all.
     edge_chunk: int = 2048
+    # edge_lanes — independent accumulation registers in the edge kernel;
+    # row runs are padded to a multiple of this, buying L-way ILP on the
+    # otherwise-serial register FMA chain (measured ~100 cycles/edge at
+    # L=1 on v5e: latency-bound). L=1 packs with zero run padding.
+    edge_lanes: int = 1
 
     def __post_init__(self):
         if self.tile_m % 8 != 0 or self.tile_m <= 0:
@@ -124,6 +129,10 @@ class SpmmConfig:
             raise ValueError("n_acc and chunk_unroll must be >= 1")
         if self.edge_chunk <= 0 or self.edge_chunk % 8 != 0:
             raise ValueError("edge_chunk must be a positive multiple of 8")
+        if self.edge_lanes not in (1, 2, 4, 8):
+            raise ValueError("edge_lanes must be 1, 2, 4, or 8")
+        if self.edge_chunk % self.edge_lanes != 0:
+            raise ValueError("edge_chunk must be a multiple of edge_lanes")
 
     def validate_vpu(self) -> None:
         """Extra constraints of the VPU block format (format/pack.py +

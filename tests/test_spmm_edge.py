@@ -168,3 +168,38 @@ def test_edge_reorder_cols():
     got = np.asarray(plan(b, 0.85, -2.06, c))
     want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
     assert verify(want, got).passed
+
+
+@pytest.mark.parametrize("lanes", [2, 4, 8])
+def test_edge_lanes_match_golden(lanes):
+    """Run padding to edge_lanes multiples: L independent registers must
+    produce the same answer (short runs, straddling runs, padded runs)."""
+    cfg = SpmmConfig(tile_m=128, window_k=128, edge_chunk=64,
+                     edge_lanes=lanes)
+    coo = COOMatrix.random(400, 500, 6000, seed=21)
+    got, want = _run(coo, 96, cfg=cfg)
+    res = verify(want, got)
+    assert res.passed, res
+
+
+def test_edge_lanes_dense_rows_straddle():
+    """Dense rows straddle several chunks at L=4: forced chunk-end flushes
+    must hit the right row."""
+    m, k = 64, 1024
+    rng = np.random.default_rng(6)
+    rows = np.repeat(np.array([1, 2, 63], np.int32), k)
+    cols = np.tile(np.arange(k, dtype=np.int32), 3)
+    vals = rng.standard_normal(3 * k).astype(np.float32)
+    coo = COOMatrix((m, k), rows, cols, vals)
+    cfg = SpmmConfig(tile_m=64, window_k=512, edge_chunk=32, edge_lanes=4)
+    got, want = _run(coo, 64, cfg=cfg)
+    assert verify(want, got).passed
+
+
+def test_edge_lanes_pad_accounting():
+    coo = COOMatrix.random(300, 400, 3000, seed=23)
+    cfg1 = SpmmConfig(tile_m=128, window_k=128, edge_chunk=64, edge_lanes=1)
+    cfg4 = SpmmConfig(tile_m=128, window_k=128, edge_chunk=64, edge_lanes=4)
+    p1, p4 = pack_edge(coo, cfg1), pack_edge(coo, cfg4)
+    assert p4.stats.slots >= p1.stats.slots  # run padding costs slots
+    assert p4.stats.a_bytes == 8 * p4.n_chunks * 64
