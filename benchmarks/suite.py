@@ -46,6 +46,33 @@ def _pack_for(coo, cfg, fmt, reorder_cols):
     return pack(coo, cfg, reorder_cols=reorder_cols)
 
 
+def _gen_cached(name, gen):
+    """Disk-cache generated suite matrices (the 1M-row generators cost
+    minutes per overnight pass; generation is deterministic per name)."""
+    import tempfile
+
+    from sextans_tpu.format.coo import COOMatrix
+
+    cache = Path(tempfile.gettempdir()) / "sextans_suite_cache"
+    f = cache / f"{name}.npz"
+    if f.exists():
+        try:
+            z = np.load(f)
+            return COOMatrix(
+                (int(z["m"]), int(z["k"])), z["rows"], z["cols"], z["vals"]
+            )
+        except Exception:
+            pass
+    coo = gen()
+    try:
+        cache.mkdir(parents=True, exist_ok=True)
+        np.savez(f, m=coo.shape[0], k=coo.shape[1], rows=coo.rows,
+                 cols=coo.cols, vals=coo.vals)
+    except OSError:
+        pass
+    return coo
+
+
 HEALTHY_CANARY_MS = 0.5  # amortized nasa4704-N=512 VPU-default; healthy 0.13-0.30
 CANARY_RETRIES = 10
 CANARY_BACKOFF_S = 60.0
@@ -192,10 +219,13 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         cfg = plan.residue_config
         packed = plan._residue_plan.packed
     else:
-        # Candidate fallback: the scoped-VMEM envelope is shape-dependent
-        # and not fully modelable, so a config can die deterministically at
-        # first compile ("Ran out of memory in memory space vmem"); walk
-        # the top analytic candidates until one runs.
+        # Candidate race: analytic models mis-rank by 10-100x on some
+        # pattern/config combos (round-2: the VPU bk=8 pick on circuit-class
+        # ran 80ms where other families run ~1ms), and the scoped-VMEM
+        # envelope is shape-dependent and not fully modelable, so a config
+        # can also die deterministically at first compile. Race the top
+        # analytic candidates across kernel families with a short measured
+        # timing and keep the fastest runnable one.
         if stored is not None or not use_autotune:
             cands = [(cfg, fmt)]
         else:
@@ -204,25 +234,56 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             cands = [(r.config, r.fmt) for r in _cb3(coo_for_tuning, n=n, top=3)]
             if (cfg, fmt) != cands[0]:
                 cands.insert(0, (cfg, fmt))
+            # ensure family diversity: add the best candidate of any family
+            # missing from the model's top picks
+            fams = {f for _, f in cands}
+            from sextans_tpu.utils.autotune import (
+                choose_config,
+                choose_config_edge,
+                choose_config_mxu,
+            )
+
+            for fam, chooser in (
+                ("vpu", choose_config),
+                ("mxu", choose_config_mxu),
+                ("edge", choose_config_edge),
+            ):
+                if fam not in fams:
+                    extra_c = chooser(coo_for_tuning, n=n, top=1)
+                    if extra_c:
+                        cands.append((extra_c[0].config, fam))
         last_err = None
         plan = None
+        best_secs = None
         for cfg_i, fmt_i in cands:
-            if fmt_i == "mxu" and backend in ("xla", "pallas", "pallas_interpret"):
+            if fmt_i in ("mxu", "edge") and backend in (
+                "xla", "pallas", "pallas_interpret"
+            ):
                 continue
             try:
-                packed = _pack_for(coo, cfg_i, fmt_i, reorder_cols)
-                plan = SpmmPlan(
-                    packed, n, backend=backend if backend != "mxu" else "auto"
+                packed_i = _pack_for(coo, cfg_i, fmt_i, reorder_cols)
+                plan_i = SpmmPlan(
+                    packed_i, n,
+                    backend=backend if backend not in ("mxu", "edge") else "auto",
                 )
-                plan(b_dev, alpha, beta, c_dev)  # compile + first run
-                cfg, fmt = cfg_i, fmt_i
-                break
+                plan_i(b_dev, alpha, beta, c_dev)  # compile + first run
+                if len(cands) > 1:
+                    secs_i = time_repeat(
+                        plan_i, b_dev, alpha, beta, c_dev, times=8
+                    )
+                    log(f"  candidate {fmt_i} bk={cfg_i.block_k} "
+                        f"tm={cfg_i.tile_m} wk={cfg_i.window_k} "
+                        f"tn={cfg_i.tile_n}: {secs_i * 1e3:.3f} ms")
+                else:
+                    secs_i = 0.0
+                if best_secs is None or secs_i < best_secs:
+                    plan, packed, best_secs = plan_i, packed_i, secs_i
+                    cfg, fmt = cfg_i, fmt_i
             except Exception as e:  # deterministic compile rejection → next
                 last_err = e
                 log(f"  candidate {fmt_i} bk={cfg_i.block_k} tm={cfg_i.tile_m} "
                     f"wk={cfg_i.window_k} tn={cfg_i.tile_n} failed: "
                     f"{str(e)[:120]}")
-                plan = None
         if plan is None:
             raise last_err if last_err else RuntimeError("no candidate ran")
     t_pack = time.perf_counter() - t0
@@ -256,12 +317,15 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     if verify_gate:
         got = np.asarray(plan(b_dev, alpha, beta, c_dev))
         csr = CSRMatrix.from_coo(coo)
-        ref = golden_spmm(csr, b, alpha, beta, c)
-        res = verify(ref, got)
+        # One oracle run per row: the f64-exact result serves both the
+        # reference tolerance gate (f32-vs-f64 oracle skew ~1e-7 rel, far
+        # inside the 1e-4 gate) and the 1e-6 max-abs north star — the f32
+        # golden would double the dominant per-row host cost at 1M-row
+        # scale for no information.
+        exact = golden_spmm_exact(csr, b, alpha, beta, c)
+        res = verify(exact.astype(np.float32), got)
         rec["verify"] = "pass" if res.passed else "FAIL"
         rec["max_abs_err"] = float(res.max_abs_err)
-        # 1e-6 max-abs north-star gate vs the float64 oracle (BASELINE.md)
-        exact = golden_spmm_exact(csr, b, alpha, beta, c)
         rec["max_abs_vs_f64"] = float(np.abs(got - exact).max())
         rec["meets_1e6_gate"] = bool(rec["max_abs_vs_f64"] <= 1e-6)
         if not res.passed:
@@ -398,7 +462,7 @@ def main(argv=None):
             break
         log(f"== {name} ==")
         t0 = time.perf_counter()
-        coo = gen()
+        coo = _gen_cached(name, gen)
         log(f"  generated/loaded in {time.perf_counter()-t0:.1f}s: "
             f"{coo.shape} nnz={coo.nnz}")
         for n in args.n:

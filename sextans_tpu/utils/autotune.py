@@ -279,20 +279,22 @@ def choose_config_mxu(
     return results[:top]
 
 
-# Edge-stream kernel (ops/spmm_edge_pallas.py) per-edge cost: SMEM decode +
-# one (1, tile_n) gather-FMA + amortized row flush. Provisional until
-# calibrated on v5e (benchmarks/tune_kernel.py probes); the fixed scalar
-# term dominates at every tile_n.
-EDGE_CYCLES_FIXED = 14.0
-EDGE_CYCLES_PER_128LANES = 0.5
+# Edge-stream kernel (ops/spmm_edge_pallas.py) per-slot cost: SMEM decode +
+# one (1, tile_n) unaligned gather-FMA + amortized row flush. v5e round-2
+# measurements (nasa4704, mildly contended session): ~21 cyc/slot at
+# tile_n=128, ~113 at tile_n=512 (L=4) — the dynamic-sublane extract cost
+# scales with tile_n. The per-edge paths on this hardware are latency-bound
+# 20-100x above the FPGA's 1/64-cycle URAM scatter (docs/DESIGN.md bound).
+EDGE_CYCLES_FIXED = 6.0
+EDGE_CYCLES_PER_128LANES = 20.0
 
 
 def choose_config_edge(
     coo: COOMatrix,
     base: SpmmConfig = SpmmConfig(),
-    tile_ms: Sequence[int] = (4096, 8192, 16384),
+    tile_ms: Sequence[int] = (1024, 2048, 4096, 8192, 16384),
     tile_ns: Sequence[int] = (128, 256, 512),
-    window_ks: Sequence[int] = (8192, 16384, 32768),
+    window_ks: Sequence[int] = (4096, 8192, 16384, 32768),
     top: int = 1,
     n: int = 512,
 ) -> List[TuneResult]:
