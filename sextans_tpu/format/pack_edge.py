@@ -76,6 +76,11 @@ class PackedSpMatrixEdge:
     def n_chunks(self) -> int:
         return int(self.chunk_kwin.shape[0])
 
+    # chunk ≙ group: uniform steering vocabulary across packed formats
+    @property
+    def n_groups(self) -> int:
+        return self.n_chunks
+
     # steering-name aliases so SpmmPlan can treat all formats uniformly
     @property
     def group_mtile(self) -> np.ndarray:

@@ -73,12 +73,26 @@ class ShardedSpMatrix:
 
 
 def _q_of(p):
+    if hasattr(p, "meta"):  # edge format: the meta array rides the qrow slot
+        return p.meta
     return p.qm if hasattr(p, "qm") else p.qrow
+
+
+def _bcol_of(p):
+    # edge format has no bcol array; a 1-int placeholder keeps the stacked
+    # 5-array plumbing uniform (mirrors SpmmPlan._dev)
+    if hasattr(p, "meta"):
+        return np.zeros(1, np.int32)
+    return p.bcol
 
 
 def _pad_shard_groups(p, ngroups: int):
     """Extend a shard to ``ngroups`` groups with zero-value padding groups
     that continue the last real group's m-tile run (format-agnostic)."""
+    from sextans_tpu.format.pack_edge import PackedSpMatrixEdge
+
+    if isinstance(p, PackedSpMatrixEdge):
+        return _pad_shard_chunks_edge(p, ngroups)
     cur = p.n_groups
     if cur == ngroups:
         return p
@@ -121,6 +135,50 @@ def _pad_shard_groups(p, ngroups: int):
     return PackedSpMatrix(qrow=qrow, **kw)
 
 
+def _pad_shard_chunks_edge(p, nchunks: int):
+    """Edge-format twin of _pad_shard_groups: all-padding chunks (zero vals,
+    zero meta — no row_end, so the register carry never flushes) extending
+    the last chunk's m-tile run."""
+    from sextans_tpu.format.pack_edge import PackedSpMatrixEdge
+
+    cur = p.n_chunks
+    if cur == nchunks:
+        return p
+    extra = nchunks - cur
+    E = p.config.edge_chunk
+    last_mt = p.chunk_mtile[cur - 1]
+    return PackedSpMatrixEdge(
+        m=p.m, k=p.k, nnz=p.nnz, config=p.config,
+        n_mtiles=p.n_mtiles, n_kwins=p.n_kwins,
+        vals=np.concatenate(
+            [p.vals, np.zeros((extra, 1, E), np.float32)], axis=0
+        ),
+        meta=np.concatenate(
+            [p.meta, np.zeros((extra, 1, E), np.int32)], axis=0
+        ),
+        chunk_mtile=np.concatenate([
+            p.chunk_mtile[:cur],
+            np.full(extra, last_mt, dtype=np.int32),
+            np.array([-1], dtype=np.int32),
+        ]),
+        chunk_kwin=np.concatenate(
+            [p.chunk_kwin, np.zeros(extra, dtype=np.int32)]
+        ),
+        stats=p.stats,
+        col_perm=p.col_perm,
+    )
+
+
+def _pack_fmt(local, config, fmt):
+    if fmt == "mxu":
+        return pack_mxu(local, config)
+    if fmt == "edge":
+        from sextans_tpu.format.pack_edge import pack_edge
+
+        return pack_edge(local, config)
+    return pack(local, config)
+
+
 def pack_sharded_k(
     coo: COOMatrix, n_shards: int, config: SpmmConfig = SpmmConfig(),
     fmt: str = "vpu",
@@ -153,9 +211,7 @@ def pack_sharded_k(
                 coo.cols[sel] - lo,
                 coo.vals[sel],
             )
-        shards.append(
-            pack_mxu(local, config) if fmt == "mxu" else pack(local, config)
-        )
+        shards.append(_pack_fmt(local, config, fmt))
 
     ngroups = max(p.n_groups for p in shards)
     padded = [_pad_shard_groups(p, ngroups) for p in shards]
@@ -170,7 +226,7 @@ def pack_sharded_k(
         n_kwins=k_local // wk,
         vals=np.stack([p.vals for p in padded]),
         qrow=np.stack([_q_of(p) for p in padded]),
-        bcol=np.stack([p.bcol for p in padded]),
+        bcol=np.stack([_bcol_of(p) for p in padded]),
         group_mtile=np.stack([p.group_mtile for p in padded]),
         group_kwin=np.stack([p.group_kwin for p in padded]),
         shards=shards,
@@ -212,7 +268,7 @@ def pack_sharded(
                 coo.cols[sel],
                 coo.vals[sel],
             )
-        p = pack_mxu(local, config) if fmt == "mxu" else pack(local, config)
+        p = _pack_fmt(local, config, fmt)
         assert p.n_kwins == n_kwins and p.n_mtiles == m_local // tm
         shards.append(p)
 
@@ -230,7 +286,7 @@ def pack_sharded(
         n_kwins=n_kwins,
         vals=np.stack([p.vals for p in padded]),
         qrow=np.stack([_q_of(p) for p in padded]),
-        bcol=np.stack([p.bcol for p in padded]),
+        bcol=np.stack([_bcol_of(p) for p in padded]),
         group_mtile=np.stack([p.group_mtile for p in padded]),
         group_kwin=np.stack([p.group_kwin for p in padded]),
         shards=shards,

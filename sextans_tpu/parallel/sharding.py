@@ -67,9 +67,13 @@ class ShardedSpmmPlan:
             on_tpu = jax.devices()[0].platform == "tpu"
             if fmt == "mxu":
                 backend = "mxu" if on_tpu else "mxu_interpret"
+            elif fmt == "edge":
+                backend = "edge" if on_tpu else "edge_interpret"
             else:
                 backend = "pallas" if on_tpu else "xla"
-        if (fmt == "mxu") != (backend in ("mxu", "mxu_interpret")):
+        if (fmt == "mxu") != (backend in ("mxu", "mxu_interpret")) or (
+            fmt == "edge"
+        ) != (backend in ("edge", "edge_interpret")):
             raise ValueError(
                 f"backend {backend!r} does not match sharded format {fmt!r}"
             )
@@ -109,6 +113,18 @@ class ShardedSpmmPlan:
                 out = spmm_xla_padded(
                     vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
                     **kernel_kwargs,
+                )
+            elif backend in ("edge", "edge_interpret"):
+                from sextans_tpu.ops.spmm_edge_pallas import spmm_edge_padded
+
+                out = spmm_edge_padded(
+                    vals, qrow, gmt, gkw, b_pad, c_loc, alpha, beta,
+                    tile_m=cfg.tile_m,
+                    window_k=cfg.window_k,
+                    edge_chunk=cfg.edge_chunk,
+                    edge_lanes=cfg.edge_lanes,
+                    tile_n=tile_n,
+                    interpret=(backend == "edge_interpret"),
                 )
             elif backend in ("mxu", "mxu_interpret"):
                 from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded
@@ -250,9 +266,13 @@ class ShardedSpmmPlanK:
             on_tpu = jax.devices()[0].platform == "tpu"
             if fmt == "mxu":
                 backend = "mxu" if on_tpu else "mxu_interpret"
+            elif fmt == "edge":
+                backend = "edge" if on_tpu else "edge_interpret"
             else:
                 backend = "pallas" if on_tpu else "xla"
-        if (fmt == "mxu") != (backend in ("mxu", "mxu_interpret")):
+        if (fmt == "mxu") != (backend in ("mxu", "mxu_interpret")) or (
+            fmt == "edge"
+        ) != (backend in ("edge", "edge_interpret")):
             raise ValueError(
                 f"backend {backend!r} does not match sharded format {fmt!r}"
             )
@@ -291,6 +311,19 @@ class ShardedSpmmPlanK:
                 partial_ab = spmm_xla_padded(
                     vals, qrow, bcol, gmt, gkw, b_loc, zeros_c, one, zero,
                     **kernel_kwargs,
+                )
+            elif backend in ("edge", "edge_interpret"):
+                from sextans_tpu.ops.spmm_edge_pallas import spmm_edge_padded
+
+                partial_ab = spmm_edge_padded(
+                    vals, qrow, gmt, gkw, b_loc, zeros_c, one, zero,
+                    tile_m=cfg.tile_m,
+                    window_k=cfg.window_k,
+                    edge_chunk=cfg.edge_chunk,
+                    edge_lanes=cfg.edge_lanes,
+                    tile_n=tile_n,
+                    interpret=(backend == "edge_interpret"),
+                    with_c=False,
                 )
             elif backend in ("mxu", "mxu_interpret"):
                 from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded

@@ -242,3 +242,32 @@ def test_sharded_format_backend_mismatch():
     sharded = pack_sharded(coo, 2, CFG)  # vpu format
     with pytest.raises(ValueError, match="does not match"):
         ShardedSpmmPlan(sharded, 16, backend="mxu_interpret")
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_edge_format_matches_golden(n_shards):
+    """Row-block sharding of the edge-stream format (interpret mode under
+    shard_map — the real kernel's sharded lowering on the CPU mesh)."""
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlan
+
+    cfg = SpmmConfig(tile_m=32, window_k=128, edge_chunk=64, edge_lanes=4)
+    coo, b, c = _problem(300, 200, 128, 3000, seed=40 + n_shards)
+    sharded = pack_sharded(coo, n_shards, cfg, fmt="edge")
+    plan = ShardedSpmmPlan(sharded, 128, backend="edge_interpret")
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(plan(b, 0.85, -2.06, c))
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_k_sharded_edge_format_matches_golden():
+    """K-sharded edge format: psum_scatter of C partials on the CPU mesh."""
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlanK
+    from sextans_tpu.parallel.partition import pack_sharded_k
+
+    cfg = SpmmConfig(tile_m=32, window_k=128, edge_chunk=64)
+    coo, b, c = _problem(256, 300, 128, 3000, seed=51)
+    sharded = pack_sharded_k(coo, 4, cfg, fmt="edge")
+    plan = ShardedSpmmPlanK(sharded, 128, backend="edge_interpret")
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(plan(b, 0.85, -2.06, c))
+    assert np.max(np.abs(got - want)) < 1e-4
