@@ -219,6 +219,17 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         cfg = plan.residue_config
         packed = plan._residue_plan.packed
     else:
+        # A contended pool corrupts the race itself (observed: a 2000x-off
+        # relative ranking), so wait for a healthy window before racing.
+        if canary is not None:
+            for attempt in range(canary_retries):
+                pre_race = canary()
+                if pre_race <= HEALTHY_CANARY_MS:
+                    break
+                log(f"  canary {pre_race} ms before candidate race; "
+                    f"backing off {CANARY_BACKOFF_S:.0f}s "
+                    f"[{attempt + 1}/{canary_retries}]")
+                time.sleep(CANARY_BACKOFF_S)
         # Candidate race: analytic models mis-rank by 10-100x on some
         # pattern/config combos (round-2: the VPU bk=8 pick on circuit-class
         # ran 80ms where other families run ~1ms), and the scoped-VMEM
