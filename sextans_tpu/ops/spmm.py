@@ -5,11 +5,17 @@ The library analog of the reference's host-side kernel launch
 operands to tile boundaries, dispatches to a backend, and slices the result
 back to (M, N).
 
-Backends:
+Backends (``*_interpret`` variants run the same kernels in the Pallas
+interpreter — the reference's swsim analog):
 
-* ``"pallas"`` — the TPU Pallas kernel (ops/spmm_pallas.py), production path;
-* ``"xla"``    — portable pure-XLA scan backend (ops/spmm_xla.py);
-* ``"auto"``   — pallas on TPU, xla elsewhere.
+* ``"pallas"`` — VPU block kernel (ops/spmm_pallas.py) over the 8xbk format;
+* ``"mxu"``    — MXU dense-slab kernel (ops/spmm_mxu_pallas.py), the
+  flagship engine for structured matrices (auto-selected for
+  PackedSpMatrixMXU operands; uses the C-transposed variant when N <= 32);
+* ``"edge"``   — structure-independent per-nonzero stream
+  (ops/spmm_edge_pallas.py) over the 8 B/nnz edge format;
+* ``"xla"``    — portable pure-XLA backend (ops/spmm_xla.py);
+* ``"auto"``   — picked from the packed format + platform.
 """
 
 from __future__ import annotations
