@@ -36,7 +36,7 @@ def log(msg):
 
 
 def merge(pass_files, out_path):
-    from benchmarks.report import HEALTHY_CANARY_MS, canary_rank
+    from benchmarks.report import is_healthy
 
     best = {}
     for p in pass_files:
@@ -56,8 +56,8 @@ def merge(pass_files, out_path):
             if prev is None:
                 best[key] = cand
                 continue
-            ch = canary_rank(cand, ses) <= HEALTHY_CANARY_MS
-            ph = canary_rank(prev, prev["session"]) <= HEALTHY_CANARY_MS
+            ch = is_healthy(cand, ses)
+            ph = is_healthy(prev, prev["session"])
             if (ch and not ph) or (
                 ch == ph and cand["gflops"] > prev["gflops"]
             ):
@@ -69,10 +69,7 @@ def merge(pass_files, out_path):
         "results": rows,
     }
     Path(out_path).write_text(json.dumps(doc, indent=1))
-    healthy = sum(
-        1 for r in rows
-        if canary_rank(r, r["session"]) <= HEALTHY_CANARY_MS
-    )
+    healthy = sum(1 for r in rows if is_healthy(r, r["session"]))
     log(f"merged {len(pass_files)} passes -> {out_path}: "
         f"{len(rows)} rows, {healthy} canary-healthy")
     return doc

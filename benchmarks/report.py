@@ -21,13 +21,20 @@ def canary_rank(row, session):
     return c if c is not None else 9e9
 
 
+def is_healthy(row, session):
+    """Healthy = canary within the session's calibrated threshold (the
+    quiet baseline varies ~3x between sessions; suite.py records
+    canary_healthy_ms in the session header)."""
+    thresh = session.get("canary_healthy_ms", HEALTHY_CANARY_MS)
+    return canary_rank(row, session) <= thresh
+
+
 def better(cand, prev):
     """Merge rule. Pool contention only ever *understates* a row (the timing
     chain cannot run faster than the hardware; memoization is defeated by
     alpha perturbation), so among canary-healthy rows the faster one is the
     better estimate; an unhealthy row never displaces a healthy one."""
-    ch, ph = (canary_rank(cand[0], cand[1]) <= HEALTHY_CANARY_MS,
-              canary_rank(prev[0], prev[1]) <= HEALTHY_CANARY_MS)
+    ch, ph = is_healthy(cand[0], cand[1]), is_healthy(prev[0], prev[1])
     if ch != ph:
         return ch
     return cand[0]["gflops"] > prev[0]["gflops"]

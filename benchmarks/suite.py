@@ -120,7 +120,7 @@ def make_fast_canary():
 
 def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             reorder_cols=False, store=None, hybrid="auto", canary=None,
-            canary_retries=CANARY_RETRIES):
+            canary_retries=CANARY_RETRIES, healthy_ms=HEALTHY_CANARY_MS):
     import jax.numpy as jnp
 
     from sextans_tpu.format.csr import CSRMatrix
@@ -224,7 +224,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         if canary is not None:
             for attempt in range(canary_retries):
                 pre_race = canary()
-                if pre_race <= HEALTHY_CANARY_MS:
+                if pre_race <= healthy_ms:
                     break
                 log(f"  canary {pre_race} ms before candidate race; "
                     f"backing off {CANARY_BACKOFF_S:.0f}s "
@@ -360,9 +360,9 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     pre = None
     for attempt in range(canary_retries):
         pre = canary() if canary is not None else None
-        if pre is not None and pre > HEALTHY_CANARY_MS:
+        if pre is not None and pre > healthy_ms:
             rec["canary_pre_ms"] = pre
-            log(f"  canary {pre} ms > {HEALTHY_CANARY_MS} (pool contended); "
+            log(f"  canary {pre} ms > {healthy_ms} (pool contended); "
                 f"backing off {CANARY_BACKOFF_S:.0f}s "
                 f"[{attempt + 1}/{canary_retries}]")
             time.sleep(CANARY_BACKOFF_S)
@@ -371,7 +371,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         secs = sample if secs is None else min(secs, sample)
         post = canary() if canary is not None else None
         rec["canary_pre_ms"], rec["canary_post_ms"] = pre, post
-        if post is None or post <= HEALTHY_CANARY_MS:
+        if post is None or post <= healthy_ms:
             break
         log(f"  post-canary {post} ms unhealthy; re-measuring")
     else:
@@ -456,11 +456,22 @@ def main(argv=None):
         "platform": jax.devices()[0].platform,
     }
     canary = None
+    healthy_ms = HEALTHY_CANARY_MS
     if not args.no_canary and jax.devices()[0].platform == "tpu":
-        canary = make_fast_canary()
-        session["nasa_canary_ms"] = canary()
-        log(f"session canary (nasa4704 N=512 vpu-default, amortized): "
-            f"{session['nasa_canary_ms']} ms")
+        raw = make_fast_canary()
+        # The canary's quiet baseline varies ~3x between sessions (v5e
+        # pool), so the health threshold is calibrated at start: 1.6x the
+        # best of 4 quiet samples, floored at the cross-session constant.
+        samples = [raw() for _ in range(4)]
+        baseline = min(samples)
+        healthy_ms = round(max(HEALTHY_CANARY_MS, 1.6 * baseline), 3)
+        session["nasa_canary_ms"] = baseline
+        session["canary_healthy_ms"] = healthy_ms
+        log(f"session canary baseline {baseline} ms (samples {samples}); "
+            f"healthy threshold {healthy_ms} ms")
+
+        def canary():
+            return raw()
 
     results = []
     stopped = False
@@ -487,6 +498,7 @@ def main(argv=None):
                     rp_time=args.rp_time, verify_gate=not args.no_verify,
                     reorder_cols=args.reorder_cols, store=store,
                     canary=canary, canary_retries=args.canary_retries,
+                    healthy_ms=healthy_ms,
                 )
             except Exception as e:
                 log(f"  !! {name} N={n} failed: {e!r}")
