@@ -83,6 +83,10 @@ def main(argv=None):
     ap.add_argument("--out", default=str(HERE / "results_r2.json"))
     ap.add_argument("--pass-dir", default=str(HERE / "passes"))
     ap.add_argument("--max-passes", type=int, default=20)
+    ap.add_argument("--tuned-configs",
+                    default=str(HERE / "tuned_configs.json"),
+                    help="config store shared across passes (race winners "
+                         "persist; later passes skip re-racing)")
     ap.add_argument("--extra", nargs="*", default=[],
                     help="extra args forwarded to suite.py")
     args = ap.parse_args(argv)
@@ -103,6 +107,7 @@ def main(argv=None):
             "--autotune",
             "--canary-retries", "3",
             "--deadline-ts", str(deadline),
+            "--tuned-configs", args.tuned_configs,
             "--out", str(out),
             *args.extra,
         ]
