@@ -279,12 +279,26 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 )
                 plan_i(b_dev, alpha, beta, c_dev)  # compile + first run
                 if len(cands) > 1:
+                    # adaptive repeat count: a fixed small T measures only
+                    # the ~40 ms dispatch+fetch RTT for fast kernels (the
+                    # differential degenerates to the amortized wall) —
+                    # escalate until the chain spans >> RTT
+                    times_i = 8
                     secs_i = time_repeat(
-                        plan_i, b_dev, alpha, beta, c_dev, times=8
+                        plan_i, b_dev, alpha, beta, c_dev, times=times_i
                     )
+                    while secs_i * times_i < 0.08 and times_i < 4096:
+                        times_i = min(
+                            4096,
+                            max(times_i * 8, int(0.1 / max(secs_i, 1e-7))),
+                        )
+                        secs_i = time_repeat(
+                            plan_i, b_dev, alpha, beta, c_dev, times=times_i
+                        )
                     log(f"  candidate {fmt_i} bk={cfg_i.block_k} "
                         f"tm={cfg_i.tile_m} wk={cfg_i.window_k} "
-                        f"tn={cfg_i.tile_n}: {secs_i * 1e3:.3f} ms")
+                        f"tn={cfg_i.tile_n}: {secs_i * 1e3:.3f} ms "
+                        f"(T={times_i})")
                 else:
                     secs_i = 0.0
                 if best_secs is None or secs_i < best_secs:
