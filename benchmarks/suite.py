@@ -287,10 +287,10 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                     secs_i = time_repeat(
                         plan_i, b_dev, alpha, beta, c_dev, times=times_i
                     )
-                    while secs_i * times_i < 0.08 and times_i < 4096:
+                    while secs_i * times_i < 0.35 and times_i < 4096:
                         times_i = min(
                             4096,
-                            max(times_i * 8, int(0.1 / max(secs_i, 1e-7))),
+                            max(times_i * 8, int(0.4 / max(secs_i, 1e-7))),
                         )
                         secs_i = time_repeat(
                             plan_i, b_dev, alpha, beta, c_dev, times=times_i

@@ -59,7 +59,13 @@ def time_repeat(plan, b, alpha, beta, c0, times: int = 10) -> float:
     def wall(t, al):
         t0 = time.perf_counter()
         out = plan.repeat(b, al, beta, c0, times=t)
-        np.asarray(out)  # forces completion + transfer
+        # Completion barrier: fetch ONE element. The slice op queues behind
+        # the producer, so its arrival implies the chain finished — without
+        # pulling the full M x N result through the tunnel (a 9.6 MB C at
+        # N=512 costs 100-250 ms of transfer per wall, swamping sub-ms
+        # kernels; block_until_ready alone has been observed returning
+        # before execution completes on the remote runtime).
+        np.asarray(out[:1, :1])
         return time.perf_counter() - t0
 
     wall(times, alpha)  # compile T
