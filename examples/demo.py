@@ -61,6 +61,14 @@ def main():
         out2 = np.asarray(sx.plan(packed_mxu, n)(b, 0.85, -2.06, c))
         print("mxu engine:", sx.verify(ref, out2))
 
+    # 5b. the structure-independent edge-stream engine: ~8 B/nnz packed
+    #     size regardless of sparsity pattern (the reference's own
+    #     edge-stream economics) — the fallback where block fill collapses
+    packed_edge = sx.pack_edge(a, sx.SpmmConfig(tile_m=1024, window_k=2048))
+    out3 = np.asarray(sx.plan(packed_edge, n)(b, 0.85, -2.06, c))
+    print("edge engine:", sx.verify(ref, out3),
+          f"({packed_edge.stats.bytes_per_nnz:.1f} B/nnz)")
+
     # 6. hybrid structure split, for stencil/power-law matrices:
     #    diagonals + dense hub columns/rows + blocked residue
     split = sx.split_structure(a)
