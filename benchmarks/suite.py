@@ -254,6 +254,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 choose_config_mxu,
             )
 
+            best_pred = _cb3(coo_for_tuning, n=n, top=1)[0].predicted_cost
             for fam, chooser in (
                 ("vpu", choose_config),
                 ("mxu", choose_config_mxu),
@@ -261,7 +262,9 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             ):
                 if fam not in fams:
                     extra_c = chooser(coo_for_tuning, n=n, top=1)
-                    if extra_c:
+                    # racing a family the model puts >5x off the best is
+                    # wasted device time even when the model is rough
+                    if extra_c and extra_c[0].predicted_cost < 5 * best_pred:
                         cands.append((extra_c[0].config, fam))
         last_err = None
         plan = None
