@@ -266,6 +266,9 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                     # wasted device time even when the model is rough
                     if extra_c and extra_c[0].predicted_cost < 5 * best_pred:
                         cands.append((extra_c[0].config, fam))
+        # huge matrices: packing each race candidate costs minutes and
+        # gigabytes — take the first runnable candidate instead of racing
+        do_race = len(cands) > 1 and coo.nnz <= 20_000_000
         last_err = None
         plan = None
         best_secs = None
@@ -281,7 +284,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                     backend=backend if backend not in ("mxu", "edge") else "auto",
                 )
                 plan_i(b_dev, alpha, beta, c_dev)  # compile + first run
-                if len(cands) > 1:
+                if do_race:
                     # adaptive repeat count: a fixed small T measures only
                     # the ~40 ms dispatch+fetch RTT for fast kernels (the
                     # differential degenerates to the amortized wall) —
@@ -307,6 +310,8 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 if best_secs is None or secs_i < best_secs:
                     plan, packed, best_secs = plan_i, packed_i, secs_i
                     cfg, fmt = cfg_i, fmt_i
+                if not do_race:
+                    break
             except Exception as e:  # deterministic compile rejection → next
                 last_err = e
                 log(f"  candidate {fmt_i} bk={cfg_i.block_k} tm={cfg_i.tile_m} "
