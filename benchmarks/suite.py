@@ -120,7 +120,8 @@ def make_fast_canary():
 
 def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             reorder_cols=False, store=None, hybrid="auto", canary=None,
-            canary_retries=CANARY_RETRIES, healthy_ms=HEALTHY_CANARY_MS):
+            canary_retries=CANARY_RETRIES, healthy_ms=HEALTHY_CANARY_MS,
+            pack_cache=None):
     import jax.numpy as jnp
 
     from sextans_tpu.format.csr import CSRMatrix
@@ -268,7 +269,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                         cands.append((extra_c[0].config, fam))
         # huge matrices: packing each race candidate costs minutes and
         # gigabytes — take the first runnable candidate instead of racing
-        do_race = len(cands) > 1 and coo.nnz <= 20_000_000
+        do_race = len(cands) > 1 and coo.nnz <= 8_000_000
         last_err = None
         plan = None
         best_secs = None
@@ -278,7 +279,13 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             ):
                 continue
             try:
-                packed_i = _pack_for(coo, cfg_i, fmt_i, reorder_cols)
+                ck = (repr(cfg_i), fmt_i, reorder_cols)
+                if pack_cache is not None and ck in pack_cache:
+                    packed_i = pack_cache[ck]
+                else:
+                    packed_i = _pack_for(coo, cfg_i, fmt_i, reorder_cols)
+                    if pack_cache is not None:
+                        pack_cache[ck] = packed_i
                 plan_i = SpmmPlan(
                     packed_i, n,
                     backend=backend if backend not in ("mxu", "edge") else "auto",
@@ -505,6 +512,7 @@ def main(argv=None):
             stopped = True
             break
         log(f"== {name} ==")
+        pack_cache = {}  # reuse packs across this matrix's N values
         t0 = time.perf_counter()
         coo = _gen_cached(name, gen)
         log(f"  generated/loaded in {time.perf_counter()-t0:.1f}s: "
@@ -520,7 +528,7 @@ def main(argv=None):
                     rp_time=args.rp_time, verify_gate=not args.no_verify,
                     reorder_cols=args.reorder_cols, store=store,
                     canary=canary, canary_retries=args.canary_retries,
-                    healthy_ms=healthy_ms,
+                    healthy_ms=healthy_ms, pack_cache=pack_cache,
                 )
             except Exception as e:
                 log(f"  !! {name} N={n} failed: {e!r}")
