@@ -65,26 +65,52 @@ C_GROUP = 600.0
 BYTES_PER_CYCLE = 850.0
 
 
+def _tune_cache(coo) -> dict:
+    """Per-matrix memo for the O(nnz log nnz) count primitives below: one
+    suite row invokes the family choosers several times (top-pick, race
+    diversity, hybrid gate), and each np.unique over a 45M-edge matrix
+    costs seconds — uncached, ldoor-class rows spent ~20 min in pure
+    analytics."""
+    c = getattr(coo, "_tune_cache", None)
+    if c is None:
+        c = {}
+        try:
+            coo._tune_cache = c
+        except AttributeError:
+            pass
+    return c
+
+
 def block_counts(
     coo: COOMatrix, block_ks: Sequence[int] = (1, 2, 4, 8, 16)
 ) -> dict:
     """Exact number of 8 x bk blocks A occupies, for each candidate bk."""
-    br = coo.rows.astype(np.int64) >> 3
+    cache = _tune_cache(coo)
+    br = None
     out = {}
     for bk in block_ks:
-        bc = coo.cols.astype(np.int64) // bk
-        keys = br * ((coo.shape[1] // bk) + 1) + bc
-        out[bk] = int(np.unique(keys).size)
+        key = ("bc8", bk)
+        if key not in cache:
+            if br is None:
+                br = coo.rows.astype(np.int64) >> 3
+            bc = coo.cols.astype(np.int64) // bk
+            keys = br * ((coo.shape[1] // bk) + 1) + bc
+            cache[key] = int(np.unique(keys).size)
+        out[bk] = cache[key]
     return out
 
 
 def job_counts(coo: COOMatrix, tile_m: int, window_k: int) -> int:
     """Exact number of (M-tile, K-window) jobs with nonzeros — each one costs
     a B-window fetch (the window_k x tile_n VMEM fill)."""
-    mt = coo.rows.astype(np.int64) // tile_m
-    kw = coo.cols.astype(np.int64) // window_k
-    keys = mt * ((coo.shape[1] // window_k) + 1) + kw
-    return int(np.unique(keys).size)
+    cache = _tune_cache(coo)
+    key = ("jc", tile_m, window_k)
+    if key not in cache:
+        mt = coo.rows.astype(np.int64) // tile_m
+        kw = coo.cols.astype(np.int64) // window_k
+        keys = mt * ((coo.shape[1] // window_k) + 1) + kw
+        cache[key] = int(np.unique(keys).size)
+    return cache[key]
 
 
 VMEM_BUDGET = 14 * 1024 * 1024  # ~16 MB/core minus headroom
@@ -202,12 +228,18 @@ def block_counts_mxu(
     coo: COOMatrix, block_ks: Sequence[int] = (32, 64, 128)
 ) -> dict:
     """Exact number of 128 x bk dense slabs A occupies, per candidate bk."""
-    ms = coo.rows.astype(np.int64) >> 7  # 128-row slab
+    cache = _tune_cache(coo)
+    ms = None
     out = {}
     for bk in block_ks:
-        bc = coo.cols.astype(np.int64) // bk
-        keys = ms * ((coo.shape[1] // bk) + 1) + bc
-        out[bk] = int(np.unique(keys).size)
+        key = ("bc128", bk)
+        if key not in cache:
+            if ms is None:
+                ms = coo.rows.astype(np.int64) >> 7  # 128-row slab
+            bc = coo.cols.astype(np.int64) // bk
+            keys = ms * ((coo.shape[1] // bk) + 1) + bc
+            cache[key] = int(np.unique(keys).size)
+        out[bk] = cache[key]
     return out
 
 
