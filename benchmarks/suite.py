@@ -186,8 +186,30 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         from sextans_tpu.utils.autotune import choose_backend as _cb
         from sextans_tpu.utils.autotune import hybrid_cost
 
-        cand = split_structure(coo)
-        dense_cover = (cand.diag_nnz + cand.head_nnz + cand.head_row_nnz) / max(coo.nnz, 1)
+        # cheap O(nnz) pre-screen before the full split: upper-bound the
+        # dense cover from diagonal/hub histograms (split_structure +
+        # residue re-analysis costs ~10 min on 45M-edge matrices, and this
+        # gate runs per N row)
+        def _cover_upper_bound():
+            diag_id = coo.cols.astype(np.int64) - coo.rows.astype(np.int64)
+            dcount = np.bincount(diag_id - diag_id.min())
+            diag_ub = int(np.sort(dcount)[::-1][:64].sum())
+            cdeg = np.bincount(coo.cols, minlength=coo.shape[1])
+            hub_ub = int(np.sort(cdeg)[::-1][:2048].sum())
+            return (diag_ub + hub_ub) / max(coo.nnz, 1)
+
+        screened_out = (
+            fmt != "hybrid"
+            and coo.nnz > 5_000_000
+            and _cover_upper_bound() < 0.3
+        )
+        cand = None if screened_out else split_structure(coo)
+        dense_cover = (
+            0.0
+            if cand is None
+            else (cand.diag_nnz + cand.head_nnz + cand.head_row_nnz)
+            / max(coo.nnz, 1)
+        )
         if fmt == "hybrid":
             split = cand
         elif dense_cover >= 0.3 and coo.nnz >= 50_000:
