@@ -73,9 +73,14 @@ def main(paths):
         print(f"| {mname} | {nnz} | " + " | ".join(cells) + " |")
     print()
     for p in paths:
-        ses = json.load(open(p)).get("session", {})
-        print(f"* `{p}`: canary {ses.get('nasa_canary_ms')} ms, "
-              f"{ses.get('device')}, {ses.get('timestamp')}")
+        doc = json.load(open(p))
+        ses = doc.get("session", {})
+        if ses:
+            print(f"* `{p}`: canary {ses.get('nasa_canary_ms')} ms, "
+                  f"{ses.get('device')}, {ses.get('timestamp')}")
+        else:  # merged doc: rows carry their own session/pass provenance
+            print(f"* `{p}`: merged {doc.get('merged_at')} from "
+                  f"{len(doc.get('merged_from', []))} passes")
 
 
 if __name__ == "__main__":
