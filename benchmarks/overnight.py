@@ -39,6 +39,7 @@ def merge(pass_files, out_path):
     from benchmarks.report import is_healthy
 
     best = {}
+    failed = {}  # (matrix, n) -> last error row; surfaced when no pass timed it
     for p in pass_files:
         try:
             doc = json.loads(Path(p).read_text())
@@ -47,6 +48,12 @@ def merge(pass_files, out_path):
         ses = doc.get("session", {})
         for r in doc.get("results", []):
             if "gflops" not in r:
+                # keep a trace: a row that errored in EVERY pass must still
+                # appear in the canonical file, not silently vanish
+                if "matrix" in r and "n" in r:
+                    err = dict(r)
+                    err["pass_file"] = str(p)
+                    failed[(r["matrix"], r["n"])] = err
                 continue
             key = (r["matrix"], r["n"])
             cand = dict(r)
@@ -62,6 +69,9 @@ def merge(pass_files, out_path):
                 ch == ph and cand["gflops"] > prev["gflops"]
             ):
                 best[key] = cand
+    for k, err in failed.items():
+        if k not in best:
+            best[k] = err
     rows = [best[k] for k in sorted(best)]
     doc = {
         "merged_at": datetime.now(timezone.utc).isoformat(),
@@ -69,7 +79,7 @@ def merge(pass_files, out_path):
         "results": rows,
     }
     Path(out_path).write_text(json.dumps(doc, indent=1))
-    healthy = sum(1 for r in rows if is_healthy(r, r["session"]))
+    healthy = sum(1 for r in rows if is_healthy(r, r.get("session", {})))
     log(f"merged {len(pass_files)} passes -> {out_path}: "
         f"{len(rows)} rows, {healthy} canary-healthy")
     return doc

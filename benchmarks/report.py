@@ -55,12 +55,18 @@ def main(paths):
 
     ns = sorted({k[1] for k in best})
     mats = sorted({k[0] for k in best})
-    hdr = "| matrix | nnz | " + " | ".join(f"N={n}" for n in ns) + " |"
+    hdr = (
+        "| matrix | nnz | "
+        + " | ".join(f"N={n}" for n in ns)
+        + " | err (ulp) |"
+    )
     print(hdr)
-    print("|" + "---|" * (len(ns) + 2))
+    print("|" + "---|" * (len(ns) + 3))
     for mname in mats:
         cells = []
         nnz = ""
+        worst_ulp = None
+        gate = False
         for n in ns:
             e = best.get((mname, n))
             if e is None:
@@ -70,7 +76,14 @@ def main(paths):
             nnz = f"{r['nnz']:,}"
             flag = "" if r.get("verify") == "pass" else " ⚠"
             cells.append(f"{r['gflops']:.0f}{flag}")
-        print(f"| {mname} | {nnz} | " + " | ".join(cells) + " |")
+            u = r.get("max_abs_vs_f64_ulp")
+            if u is not None and (worst_ulp is None or u > worst_ulp):
+                worst_ulp = u
+            gate = gate or r.get("meets_1e6_gate", False)
+        err = "—" if worst_ulp is None else f"≤{worst_ulp:.1f}"
+        if gate:
+            err += " ✓1e-6"
+        print(f"| {mname} | {nnz} | " + " | ".join(cells) + f" | {err} |")
     print()
     for p in paths:
         doc = json.load(open(p))

@@ -196,7 +196,12 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             diag_ub = int(np.sort(dcount)[::-1][:64].sum())
             cdeg = np.bincount(coo.cols, minlength=coo.shape[1])
             hub_ub = int(np.sort(cdeg)[::-1][:2048].sum())
-            return (diag_ub + hub_ub) / max(coo.nnz, 1)
+            # dense head ROWS too (split_structure lifts up to 256 rows):
+            # without this term a row-hub-dominated matrix could be screened
+            # out even when its true dense cover clears the threshold
+            rdeg = np.bincount(coo.rows, minlength=coo.shape[0])
+            row_ub = int(np.sort(rdeg)[::-1][:256].sum())
+            return (diag_ub + hub_ub + row_ub) / max(coo.nnz, 1)
 
         screened_out = (
             fmt != "hybrid"
@@ -301,13 +306,12 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             ):
                 continue
             try:
-                ck = (repr(cfg_i), fmt_i, reorder_cols)
-                if pack_cache is not None and ck in pack_cache:
-                    packed_i = pack_cache[ck]
+                if pack_cache is not None:
+                    packed_i = pack_cache.get_or_pack(
+                        name, coo, cfg_i, fmt_i, reorder_cols
+                    )
                 else:
                     packed_i = _pack_for(coo, cfg_i, fmt_i, reorder_cols)
-                    if pack_cache is not None:
-                        pack_cache[ck] = packed_i
                 plan_i = SpmmPlan(
                     packed_i, n,
                     backend=backend if backend not in ("mxu", "edge") else "auto",
@@ -390,6 +394,48 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         rec["max_abs_err"] = float(res.max_abs_err)
         rec["max_abs_vs_f64"] = float(np.abs(got - exact).max())
         rec["meets_1e6_gate"] = bool(rec["max_abs_vs_f64"] <= 1e-6)
+        # ulp-normalized error (docs/ACCURACY.md): f32 cannot represent the
+        # result closer than ulp(max|C|)/2, so the honest accuracy column is
+        # max_abs in ulps of max|C| — carried on every canonical row.
+        cmax = float(np.abs(exact).max())
+        ulp = float(np.spacing(np.float32(cmax))) or 1e-45
+        rec["c_max_abs"] = round(cmax, 3)
+        rec["max_abs_vs_f64_ulp"] = round(rec["max_abs_vs_f64"] / ulp, 2)
+        # The literal 1e-6 gate is structurally reachable only when
+        # ulp(max|C|) <= 2e-6 (max|C| <~ 16). When it is reachable but the
+        # fast kernel misses it, re-run with Kahan compensation
+        # (precise=True) — a kernel knob, so the cached pack is reused.
+        if (
+            not rec["meets_1e6_gate"]
+            and ulp <= 2e-6
+            and split is None
+            and not cfg.precise
+            and plan.backend in ("pallas", "mxu",
+                                 "pallas_interpret", "mxu_interpret")
+        ):
+            import dataclasses
+
+            try:
+                ppacked = dataclasses.replace(
+                    packed, config=cfg.with_(precise=True)
+                )
+                # share the device-upload memo (precise is kernel-only)
+                ppacked.__dict__["_dev_cache"] = packed.__dict__.setdefault(
+                    "_dev_cache", {}
+                )
+                pplan = SpmmPlan(ppacked, n, backend=plan.backend)
+                pgot = np.asarray(pplan(b_dev, alpha, beta, c_dev))
+                pmax = float(np.abs(pgot - exact).max())
+                if pmax <= 1e-6:
+                    plan, got = pplan, pgot
+                    cfg = cfg.with_(precise=True)
+                    rec["max_abs_vs_f64"] = pmax
+                    rec["max_abs_vs_f64_ulp"] = round(pmax / ulp, 2)
+                    rec["meets_1e6_gate"] = True
+                    rec["precise"] = True
+                    log(f"  precise mode engaged: {pmax:.2e} <= 1e-6")
+            except Exception as e:
+                log(f"  precise-mode attempt failed: {str(e)[:100]}")
         if not res.passed:
             log(f"  !! verification failed: {res}")
             return rec
@@ -524,6 +570,14 @@ def main(argv=None):
         def canary():
             return raw()
 
+    # Disk-backed pack cache, shared across matrices, N values, candidate
+    # races, and overnight passes (round-2 rows burned 200-1500 s/row on
+    # re-packs; the disk pack + device-upload memo cuts steady-state rows
+    # to the timing protocol itself).
+    from sextans_tpu.format.pack_cache import PackCache
+
+    pack_cache = PackCache()
+
     results = []
     stopped = False
     for name, gen in suite(args.scale).items():
@@ -534,7 +588,6 @@ def main(argv=None):
             stopped = True
             break
         log(f"== {name} ==")
-        pack_cache = {}  # reuse packs across this matrix's N values
         t0 = time.perf_counter()
         coo = _gen_cached(name, gen)
         log(f"  generated/loaded in {time.perf_counter()-t0:.1f}s: "

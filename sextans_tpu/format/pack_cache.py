@@ -1,0 +1,174 @@
+"""Disk-backed pack cache: reuse packed matrices across processes and runs.
+
+The reference's expensive host step is its preprocessing pass, and its
+persistence story is bitstream reuse via the TAPAB env var
+(reference README.md:46-48). Here the expensive host step is packing — on
+45M-nnz matrices a single pack costs minutes and the benchmark suite packs
+every (matrix, config) candidate in every pass — so packs are memoized on
+disk keyed by (matrix identity, format, pack-relevant config fields).
+
+Only the config fields that change the packed bytes participate in the key:
+kernel-only knobs (``precise``, ``chunk_unroll``, ``n_acc``, ``tile_n``)
+vary freely over one cached pack. On load, the *caller's* full config is
+re-attached to the packed object so those kernel knobs take effect.
+
+The cache directory defaults to ``$TMPDIR/sextans_pack_cache`` and is
+overridable via ``SEXTANS_PACK_CACHE_DIR``. Files are ordinary ``.npz``
+packs written by each format's ``save`` (load round-trip is tested in
+tests/test_pack*.py), so the cache doubles as the checkpoint/resume story
+for preprocessing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.utils.config import SpmmConfig
+
+__all__ = ["PackCache", "pack_signature"]
+
+
+def pack_signature(cfg: SpmmConfig, fmt: str, reorder_cols: bool) -> str:
+    """Canonical string of the fields that determine the packed bytes."""
+    if fmt == "edge":
+        fields = (cfg.tile_m, cfg.window_k, cfg.edge_chunk, cfg.edge_lanes)
+    elif fmt == "mxu":
+        fields = (cfg.tile_m, cfg.window_k, cfg.block_k, cfg.group_blocks)
+    elif fmt == "vpu":
+        fields = (
+            cfg.tile_m, cfg.window_k, cfg.block_k, cfg.group_blocks,
+            int(cfg.interleave),
+        )
+    else:
+        raise ValueError(f"unknown pack format {fmt!r}")
+    return f"{fmt}|{fields}|reorder={bool(reorder_cols)}"
+
+
+def _load_fmt(path: Path, fmt: str):
+    if fmt == "edge":
+        from sextans_tpu.format.pack_edge import PackedSpMatrixEdge
+
+        return PackedSpMatrixEdge.load(path)
+    if fmt == "mxu":
+        from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
+
+        return PackedSpMatrixMXU.load(path)
+    from sextans_tpu.format.pack import PackedSpMatrix
+
+    return PackedSpMatrix.load(path)
+
+
+def _pack_fmt(coo: COOMatrix, cfg: SpmmConfig, fmt: str, reorder_cols: bool):
+    if fmt == "edge":
+        from sextans_tpu.format.pack_edge import pack_edge
+
+        return pack_edge(coo, cfg, reorder_cols=reorder_cols)
+    if fmt == "mxu":
+        from sextans_tpu.format.pack_mxu import pack_mxu
+
+        return pack_mxu(coo, cfg, reorder_cols=reorder_cols)
+    from sextans_tpu.format.pack import pack
+
+    return pack(coo, cfg, reorder_cols=reorder_cols)
+
+
+class PackCache:
+    """Two-level (memory + disk) pack cache.
+
+    ``name`` identifies the matrix. Callers that can guarantee name
+    uniqueness (the benchmark suite's generated matrices are deterministic
+    per name) may pass ``trust_name=True`` to skip hashing the COO arrays;
+    otherwise a content fingerprint (shape/nnz + sampled entries) joins the
+    key so a renamed or edited matrix can never alias a stale pack.
+    """
+
+    def __init__(self, root: Optional[os.PathLike] = None,
+                 trust_name: bool = False):
+        self.root = Path(
+            root
+            or os.environ.get("SEXTANS_PACK_CACHE_DIR")
+            or Path(tempfile.gettempdir()) / "sextans_pack_cache"
+        )
+        self.trust_name = trust_name
+        self._mem: dict = {}
+        self._mem_fp: Optional[str] = None  # memory layer holds ONE matrix
+        self.hits = 0
+        self.disk_hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _with_cfg(base, cfg: SpmmConfig):
+        """Copy with the caller's config; shares the device-upload memo dict
+        (ops/plan.py SpmmPlan) so all N-variants reuse one device copy."""
+        if base.config == cfg:
+            return base
+        out = dataclasses.replace(base, config=cfg)
+        out.__dict__["_dev_cache"] = base.__dict__.setdefault("_dev_cache", {})
+        return out
+
+    def _fingerprint(self, name: str, coo: COOMatrix) -> str:
+        if self.trust_name:
+            return name
+        import numpy as np
+
+        h = hashlib.sha1()
+        h.update(f"{name}|{coo.shape}|{coo.nnz}".encode())
+        # sampled entries: full-array hashing costs ~1 s per 100M elements,
+        # a deterministic stride sample of 64k entries is plenty to detect
+        # any real content change
+        if coo.nnz:
+            step = max(1, coo.nnz // 65536)
+            for a in (coo.rows, coo.cols, coo.vals):
+                h.update(np.ascontiguousarray(a[::step]).tobytes())
+        return f"{name}-{h.hexdigest()[:12]}"
+
+    def _path(self, fp: str, sig: str) -> Path:
+        digest = hashlib.sha1(f"{fp}|{sig}".encode()).hexdigest()[:16]
+        safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in fp)
+        return self.root / f"{safe[:48]}_{digest}.npz"
+
+    def get_or_pack(self, name: str, coo: COOMatrix, cfg: SpmmConfig,
+                    fmt: str, reorder_cols: bool = False):
+        """Return the packed matrix, from memory, disk, or a fresh pack.
+
+        The returned object carries the caller's full ``cfg`` (kernel knobs
+        included), not the config stored on disk.
+        """
+        sig = pack_signature(cfg, fmt, reorder_cols)
+        fp = self._fingerprint(name, coo)
+        if fp != self._mem_fp:
+            # moving to a new matrix: drop the old one's packs (full-suite
+            # passes would otherwise hold GBs of packed arrays in RSS; the
+            # disk layer keeps cross-matrix reuse)
+            self._mem.clear()
+            self._mem_fp = fp
+        mkey = (fp, sig)
+        if mkey in self._mem:
+            self.hits += 1
+            return self._with_cfg(self._mem[mkey], cfg)
+        path = self._path(fp, sig)
+        if path.exists():
+            try:
+                packed = _load_fmt(path, fmt)
+                self._mem[mkey] = packed
+                self.disk_hits += 1
+                return self._with_cfg(packed, cfg)
+            except Exception:
+                pass  # corrupt/stale file: fall through to re-pack
+        self.misses += 1
+        packed = _pack_fmt(coo, cfg, fmt, reorder_cols)
+        try:
+            self.root.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp.npz")
+            packed.save(tmp)
+            os.replace(tmp, path)  # atomic: concurrent passes never corrupt
+        except OSError:
+            pass  # disk cache is an optimization; never fail the pack
+        self._mem[mkey] = packed
+        return packed

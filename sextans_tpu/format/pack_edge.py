@@ -23,11 +23,16 @@ Array layout (chunk = ``config.edge_chunk`` edges, one kernel grid step):
   scalar-prefetch steering protocol as the block formats: a chunk belongs to
   exactly one (M-tile, K-window) job.
 
-Padding edges (value 0, col 0, row_end=0) complete the last chunk of each
-job; they accumulate nothing and never flush. The final real edge of every
-chunk is force-marked ``row_end`` so row partials never span chunks (a row
-split across chunks simply flushes twice — the accumulator add is
-associative and hazard-free).
+Padding edges (value 0, col 0, row_end=0, pad bit set) complete the last
+chunk of each job; they accumulate nothing and never flush. The final real
+edge of every chunk is force-marked ``row_end`` so row partials never span
+chunks (a row split across chunks simply flushes twice — the accumulator add
+is associative and hazard-free).
+
+Precondition (all padded kernels): B must be finite. A pad slot computes
+``0 * B_window[0, :]``, which is exactly 0.0 for finite B but NaN if B
+carries Inf/NaN in the first row of a K-window (the kernels do not spend a
+per-edge select to mask this; the pad bit lets a future masked variant).
 """
 
 from __future__ import annotations
@@ -46,7 +51,7 @@ __all__ = ["PackedSpMatrixEdge", "pack_edge"]
 ROW_SHIFT = 17
 COL_SHIFT = 2
 ROW_END = 2
-STRIPE_END = 1  # reserved flag bit (8-row stripe boundary), currently unused
+PAD_BIT = 1  # slot is padding (value 0); lets a masked kernel variant skip it
 MAX_TILE_M = 1 << (31 - ROW_SHIFT)  # 16384
 MAX_WINDOW_K = 1 << (ROW_SHIFT - COL_SHIFT)  # 32768
 
@@ -211,7 +216,7 @@ def pack_edge(
             m=m, k=k, nnz=0, config=config,
             n_mtiles=n_mtiles, n_kwins=n_kwins,
             vals=np.zeros((n_mtiles, 1, E), np.float32),
-            meta=np.zeros((n_mtiles, 1, E), np.int32),
+            meta=np.full((n_mtiles, 1, E), PAD_BIT, np.int32),
             chunk_mtile=np.append(
                 np.arange(n_mtiles, dtype=np.int32), np.int32(-1)
             ),
@@ -272,7 +277,8 @@ def pack_edge(
     dst = chunk_of_job[job_of_edge] * E + dst_in_job
 
     vals = np.zeros((n_chunks, 1, E), np.float32)
-    meta = np.zeros((n_chunks, 1, E), np.int32)
+    # start every slot marked pad (bit 0); real edges overwrite it below
+    meta = np.ones((n_chunks, 1, E), np.int32)
     flat_v = vals.reshape(-1)
     flat_m = meta.reshape(-1)
 
@@ -306,7 +312,9 @@ def pack_edge(
         )
         is_final = off == np.repeat(reps - 1, reps)
         pad_word = (
-            (run_row[pr] << ROW_SHIFT) | (is_final.astype(np.int64) << 1)
+            (run_row[pr] << ROW_SHIFT)
+            | (is_final.astype(np.int64) << 1)
+            | 1  # pad bit
         ).astype(np.int32)
         flat_m[pad_dst] = pad_word
 
@@ -327,17 +335,15 @@ def pack_edge(
     job_first_edge = np.flatnonzero(new_job)
     jm = mt_s[job_first_edge].astype(np.int32)
     jk = kw_s[job_first_edge].astype(np.int32)
-    for j in range(n_jobs):
-        c0, c1 = int(chunk_of_job[j]), int(chunk_of_job[j + 1])
-        chunk_mtile[c0:c1] = jm[j]
-        chunk_kwin[c0:c1] = jk[j]
+    chunk_mtile[:n_chunks] = np.repeat(jm, job_chunks)
+    chunk_kwin[:n_chunks] = np.repeat(jk, job_chunks)
     chunk_mtile[n_chunks:n_total] = missing
     if len(missing):
         vals = np.concatenate(
             [vals, np.zeros((len(missing), 1, E), np.float32)]
         )
         meta = np.concatenate(
-            [meta, np.zeros((len(missing), 1, E), np.int32)]
+            [meta, np.full((len(missing), 1, E), PAD_BIT, np.int32)]
         )
         n_chunks = n_total
 

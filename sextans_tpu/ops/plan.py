@@ -103,21 +103,31 @@ class SpmmPlan:
         self.tile_n = tile_n or cfg.resolve_tile_n(n)
         self.n_padded = round_up(n, self.tile_n)
 
-        # one-time device upload of the packed operand (edge format carries
-        # a single meta array; a 1-int placeholder keeps the 5-tuple shape)
-        self._dev = (
-            jnp.asarray(packed.vals),
-            jnp.asarray(
-                packed.meta
-                if is_edge
-                else (packed.qm if is_mxu else packed.qrow)
-            ),
-            jnp.asarray(
-                jnp.zeros((1,), jnp.int32) if is_edge else packed.bcol
-            ),
-            jnp.asarray(packed.group_mtile),
-            jnp.asarray(packed.group_kwin),
-        )
+        # One-time device upload of the packed operand (edge format carries
+        # a single meta array; a 1-int placeholder keeps the 5-tuple shape).
+        # The upload is memoized on the packed object so plans for other N
+        # values (or repeated plan construction) reuse the device copy —
+        # on 45M-nnz matrices the multi-GB transfer through the tunnel
+        # dominated round-2 suite rows.
+        dev_cache = packed.__dict__.setdefault("_dev_cache", {})
+        dev_key = ("dev", jax.devices()[0].id, jax.devices()[0].platform)
+        if dev_key in dev_cache:
+            self._dev = dev_cache[dev_key]
+        else:
+            self._dev = (
+                jnp.asarray(packed.vals),
+                jnp.asarray(
+                    packed.meta
+                    if is_edge
+                    else (packed.qm if is_mxu else packed.qrow)
+                ),
+                jnp.asarray(
+                    jnp.zeros((1,), jnp.int32) if is_edge else packed.bcol
+                ),
+                jnp.asarray(packed.group_mtile),
+                jnp.asarray(packed.group_kwin),
+            )
+            dev_cache[dev_key] = self._dev
 
         m, k = self.m, self.k
         m_padded, k_padded = packed.m_padded, packed.k_padded

@@ -1,0 +1,102 @@
+"""Disk pack cache (format/pack_cache.py) + device-upload memo (ops/plan.py)."""
+
+import numpy as np
+import pytest
+
+from sextans_tpu.format.coo import COOMatrix
+from sextans_tpu.format.pack_cache import PackCache, pack_signature
+from sextans_tpu.ops.plan import SpmmPlan
+from sextans_tpu.utils.config import SpmmConfig
+
+
+def _coo(seed=0, m=64, k=96, nnz=300):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, k, nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    vals[vals == 0] = 1.0
+    return COOMatrix((m, k), rows, cols, vals)
+
+
+CFG = SpmmConfig(tile_m=32, window_k=64, block_k=8, group_blocks=16)
+
+
+@pytest.mark.parametrize("fmt", ["vpu", "mxu", "edge"])
+def test_roundtrip_all_formats(tmp_path, fmt):
+    coo = _coo(m=256)
+    cfg = CFG.with_(tile_m=128) if fmt == "mxu" else CFG
+    cache = PackCache(root=tmp_path)
+    p1 = cache.get_or_pack("t", coo, cfg, fmt)
+    assert cache.misses == 1
+    # memory hit
+    p2 = cache.get_or_pack("t", coo, cfg, fmt)
+    assert cache.hits == 1
+    np.testing.assert_array_equal(p1.vals, p2.vals)
+    # disk hit from a fresh cache instance
+    cache2 = PackCache(root=tmp_path)
+    p3 = cache2.get_or_pack("t", coo, cfg, fmt)
+    assert cache2.disk_hits == 1 and cache2.misses == 0
+    np.testing.assert_array_equal(p1.vals, p3.vals)
+    np.testing.assert_array_equal(p1.group_mtile, p3.group_mtile)
+    np.testing.assert_array_equal(p1.group_kwin, p3.group_kwin)
+
+
+def test_kernel_knobs_share_one_pack(tmp_path):
+    coo = _coo()
+    cache = PackCache(root=tmp_path)
+    p1 = cache.get_or_pack("t", coo, CFG, "vpu")
+    p2 = cache.get_or_pack("t", coo, CFG.with_(precise=True), "vpu")
+    assert cache.misses == 1 and cache.hits == 1  # knobs outside the key
+    assert p2.config.precise and not p1.config.precise
+    assert p2.vals is p1.vals  # shared bytes, different config
+
+
+def test_content_change_does_not_alias(tmp_path):
+    cache = PackCache(root=tmp_path)
+    p1 = cache.get_or_pack("same-name", _coo(seed=1), CFG, "vpu")
+    p2 = cache.get_or_pack("same-name", _coo(seed=2), CFG, "vpu")
+    assert cache.misses == 2
+    assert not np.array_equal(p1.vals, p2.vals)
+
+
+def test_signature_separates_formats_and_reorder():
+    sigs = {
+        pack_signature(CFG, "vpu", False),
+        pack_signature(CFG, "vpu", True),
+        pack_signature(CFG, "mxu", False),
+        pack_signature(CFG, "edge", False),
+    }
+    assert len(sigs) == 4
+
+
+def test_device_upload_memo_across_n(tmp_path):
+    coo = _coo()
+    cache = PackCache(root=tmp_path)
+    p1 = cache.get_or_pack("t", coo, CFG, "vpu")
+    p2 = cache.get_or_pack("t", coo, CFG.with_(precise=True), "vpu")
+    plan16 = SpmmPlan(p1, 16, backend="xla")
+    plan32 = SpmmPlan(p2, 32, backend="xla")
+    # one upload serves every N (and every kernel-knob variant)
+    assert plan16._dev[0] is plan32._dev[0]
+    b = np.ones((coo.shape[1], 16), np.float32)
+    from sextans_tpu.format.csr import CSRMatrix
+    from sextans_tpu.ops.golden import golden_spmm
+
+    want = golden_spmm(CSRMatrix.from_coo(coo), b, 1.0, 0.0, None)
+    np.testing.assert_allclose(np.asarray(plan16(b)), want, rtol=1e-5, atol=1e-5)
+
+
+def test_correct_result_through_disk_cache(tmp_path):
+    coo = _coo(seed=5)
+    cache = PackCache(root=tmp_path)
+    cache.get_or_pack("t", coo, CFG, "edge")
+    fresh = PackCache(root=tmp_path)
+    pe = fresh.get_or_pack("t", coo, CFG, "edge")
+    assert fresh.disk_hits == 1
+    plan = SpmmPlan(pe, 16, backend="edge_interpret")
+    b = np.ones((coo.shape[1], 16), np.float32)
+    from sextans_tpu.format.csr import CSRMatrix
+    from sextans_tpu.ops.golden import golden_spmm
+
+    want = golden_spmm(CSRMatrix.from_coo(coo), b, 1.0, 0.0, None)
+    np.testing.assert_allclose(np.asarray(plan(b)), want, rtol=1e-5, atol=1e-5)
