@@ -17,7 +17,7 @@ first/last-group epilogue logic is untouched.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -52,6 +52,22 @@ class ShardedSpMatrix:
     # packed format family: "vpu" (8xBK blocks; qrow = stripe index) or
     # "mxu" (BKx128 slabs; qrow holds the slab index qm)
     fmt: str = "vpu"
+    # nnz-balanced row mode: tile_assign[s, j] = global m-tile owned by
+    # shard s at local position j (None = contiguous slabs). The TPU mesh
+    # analog of the reference's row%64 PE interleave
+    # (src/sparse_helper.h:370): tiles are LPT-assigned by nnz so no shard
+    # becomes the straggler on power-law matrices.
+    tile_assign: Optional[np.ndarray] = None
+    shard_nnz: Optional[np.ndarray] = None  # (S,) nnz per shard
+
+    @property
+    def nnz_imbalance(self) -> float:
+        """max/mean per-shard nnz — 1.0 is perfect balance; the mesh runs
+        at the slowest shard's pace, so this is the multi-chip efficiency
+        ceiling's inverse."""
+        if self.shard_nnz is None or self.shard_nnz.sum() == 0:
+            return 1.0
+        return float(self.shard_nnz.max() / max(self.shard_nnz.mean(), 1e-9))
 
     @property
     def m_padded(self) -> int:
@@ -235,39 +251,86 @@ def pack_sharded_k(
     )
 
 
+def _lpt_tile_assign(tile_nnz: np.ndarray, n_shards: int) -> np.ndarray:
+    """Greedy LPT assignment of m-tiles to shards, exactly T/S tiles each.
+
+    Tiles sorted by nnz descending; each goes to the currently-lightest
+    shard that still has capacity. Equal tile counts keep the stacked
+    arrays SPMD-uniform; nnz balance keeps the mesh off the
+    slowest-shard wall (the reference balances its 64 PEs the same way,
+    by row%64 interleave — src/sparse_helper.h:370)."""
+    t_pad = tile_nnz.size
+    cap = t_pad // n_shards
+    loads = np.zeros(n_shards, dtype=np.int64)
+    counts = np.zeros(n_shards, dtype=np.int64)
+    assign: List[List[int]] = [[] for _ in range(n_shards)]
+    for t in np.argsort(-tile_nnz, kind="stable"):
+        open_ = np.flatnonzero(counts < cap)
+        s = open_[np.argmin(loads[open_])]
+        assign[s].append(int(t))
+        loads[s] += int(tile_nnz[t])
+        counts[s] += 1
+    # ascending tile order inside each shard preserves row locality
+    return np.array([sorted(a) for a in assign], dtype=np.int64)
+
+
 def pack_sharded(
     coo: COOMatrix, n_shards: int, config: SpmmConfig = SpmmConfig(),
-    fmt: str = "vpu",
+    fmt: str = "vpu", balance: str = "contiguous",
 ) -> ShardedSpMatrix:
-    """Split rows into ``n_shards`` contiguous slabs and pack each.
+    """Split rows into ``n_shards`` equal-size slabs and pack each.
 
-    ``fmt``: packed format family — "vpu" (8xBK blocks) or "mxu"
-    (BKx128 dense slabs for the systolic-array kernel)."""
+    ``fmt``: packed format family — "vpu" (8xBK blocks), "mxu"
+    (BKx128 dense slabs for the systolic-array kernel), or "edge".
+
+    ``balance``: "contiguous" — shard s owns rows [s*m_local, (s+1)*m_local)
+    (row-count balanced; on power-law matrices most nnz can land on a few
+    shards). "nnz" — m-tiles are LPT-assigned by nonzero count so every
+    shard carries ~equal work; the executor permutes C tiles to match
+    (``tile_assign``)."""
+    if balance not in ("contiguous", "nnz"):
+        raise ValueError(f"balance must be 'contiguous' or 'nnz', got {balance!r}")
     m, k = coo.shape
     tm = config.tile_m
-    # Equal per-shard row slab, multiple of tile_m.
-    m_local = round_up(cdiv(max(m, 1), n_shards), tm)
     n_kwins = max(1, cdiv(k, config.window_k))
+
+    tile_assign = None
+    if balance == "nnz":
+        t_real = max(1, cdiv(m, tm))
+        t_pad = round_up(t_real, n_shards)
+        t_local = t_pad // n_shards
+        m_local = t_local * tm
+        tile_nnz = np.bincount(
+            coo.rows.astype(np.int64) // tm, minlength=t_pad
+        ).astype(np.int64)
+        tile_assign = _lpt_tile_assign(tile_nnz, n_shards)
+        tile_to_shard = np.empty(t_pad, dtype=np.int64)
+        tile_to_pos = np.empty(t_pad, dtype=np.int64)
+        for s in range(n_shards):
+            tile_to_shard[tile_assign[s]] = s
+            tile_to_pos[tile_assign[s]] = np.arange(t_local)
+        tile = coo.rows.astype(np.int64) // tm
+        edge_shard = tile_to_shard[tile]
+        local_rows = (tile_to_pos[tile] * tm + coo.rows % tm).astype(np.int32)
+        shard_nnz = np.bincount(edge_shard, minlength=n_shards).astype(np.int64)
+    else:
+        # Equal per-shard contiguous row slab, multiple of tile_m.
+        m_local = round_up(cdiv(max(m, 1), n_shards), tm)
+        edge_shard = np.minimum(
+            coo.rows.astype(np.int64) // m_local, n_shards - 1
+        )
+        local_rows = (coo.rows - edge_shard * m_local).astype(np.int32)
+        shard_nnz = np.bincount(edge_shard, minlength=n_shards).astype(np.int64)
 
     shards: List[PackedSpMatrix] = []
     for s in range(n_shards):
-        lo, hi = s * m_local, min((s + 1) * m_local, m)
-        if lo >= m:
-            sel = np.zeros(0, dtype=bool)
-            local = COOMatrix(
-                (m_local, k),
-                np.zeros(0, np.int32),
-                np.zeros(0, np.int32),
-                np.zeros(0, np.float32),
-            )
-        else:
-            sel = (coo.rows >= lo) & (coo.rows < hi)
-            local = COOMatrix(
-                (m_local, k),
-                coo.rows[sel] - lo,
-                coo.cols[sel],
-                coo.vals[sel],
-            )
+        sel = edge_shard == s
+        local = COOMatrix(
+            (m_local, k),
+            local_rows[sel],
+            coo.cols[sel],
+            coo.vals[sel],
+        )
         p = _pack_fmt(local, config, fmt)
         assert p.n_kwins == n_kwins and p.n_mtiles == m_local // tm
         shards.append(p)
@@ -291,4 +354,6 @@ def pack_sharded(
         group_kwin=np.stack([p.group_kwin for p in padded]),
         shards=shards,
         fmt=fmt,
+        tile_assign=tile_assign,
+        shard_nnz=shard_nnz,
     )

@@ -162,12 +162,41 @@ class ShardedSpmmPlan:
             check_vma=False,
         )
 
+        # nnz-balanced sharding: m-tiles are LPT-permuted across shards
+        # (partition.py tile_assign); scatter C tiles to their owners on the
+        # way in and gather them back on the way out — two cheap device-side
+        # permutations bracketing the kernel (never inside the repeat chain).
+        tm = cfg.tile_m
+        if sharded.tile_assign is not None:
+            assign_flat = jnp.asarray(
+                sharded.tile_assign.reshape(-1).astype(np.int32)
+            )
+            inv_perm = jnp.asarray(
+                np.argsort(sharded.tile_assign.reshape(-1)).astype(np.int32)
+            )
+            t_pad = S * (m_local // tm)
+
+            def to_stacked(c_p):
+                tiles = c_p.reshape(t_pad, tm, n_padded)
+                return tiles[assign_flat].reshape(S, m_local, n_padded)
+
+            def from_stacked(out):
+                tiles = out.reshape(t_pad, tm, n_padded)
+                return tiles[inv_perm].reshape(m_padded, n_padded)
+        else:
+
+            def to_stacked(c_p):
+                return c_p.reshape(S, m_local, n_padded)
+
+            def from_stacked(out):
+                return out.reshape(m_padded, n_padded)
+
         def step(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
             b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
             c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
-            c_stacked = c_p.reshape(S, m_local, n_padded)
+            c_stacked = to_stacked(c_p)
             out = inner(vals, qrow, bcol, gmt, gkw, b_p, c_stacked, alpha, beta)
-            return out.reshape(m_padded, n_padded)[:m, :n_]
+            return from_stacked(out)[:m, :n_]
 
         self._jit = jax.jit(step)
 
@@ -178,7 +207,7 @@ class ShardedSpmmPlan:
             def rep(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
                 b_p = jnp.pad(b, ((0, k_padded - k), (0, n_padded - n_)))
                 c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
-                c_stacked = c_p.reshape(S, m_local, n_padded)
+                c_stacked = to_stacked(c_p)
 
                 def body(_, c_acc):
                     return inner(
@@ -186,7 +215,7 @@ class ShardedSpmmPlan:
                     )
 
                 out = jax.lax.fori_loop(0, times, body, c_stacked)
-                return out.reshape(m_padded, n_padded)[:m, :n_]
+                return from_stacked(out)[:m, :n_]
 
             return jax.jit(rep)
 

@@ -271,3 +271,78 @@ def test_k_sharded_edge_format_matches_golden():
     want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
     got = np.asarray(plan(b, 0.85, -2.06, c))
     assert np.max(np.abs(got - want)) < 1e-4
+
+
+# ---- nnz-balanced (LPT tile-assigned) row sharding ----
+
+
+def _powerlaw(m, k, nnz, seed=0):
+    """Skewed rows: a few row-tiles hold most of the nonzeros."""
+    rng = np.random.default_rng(seed)
+    pop = rng.zipf(1.6, size=m).astype(np.float64)
+    pop /= pop.sum()
+    rows = rng.choice(m, size=nnz, p=pop).astype(np.int32)
+    cols = rng.integers(0, k, size=nnz).astype(np.int32)
+    lin = rows.astype(np.int64) * k + cols
+    _, keep = np.unique(lin, return_index=True)
+    vals = rng.standard_normal(keep.size).astype(np.float32)
+    vals[vals == 0] = 1.0
+    return COOMatrix((m, k), rows[keep], cols[keep], vals)
+
+
+@pytest.mark.parametrize("fmt,backend", [
+    ("vpu", "xla"), ("mxu", "mxu_interpret"), ("edge", "edge_interpret"),
+])
+def test_balanced_matches_golden(fmt, backend):
+    cfg = CFG.with_(tile_m=128) if fmt == "mxu" else CFG
+    coo, b, c = _problem(300, 200, 64, 3000, seed=11)
+    sharded = pack_sharded(coo, 4, cfg, fmt=fmt, balance="nnz")
+    assert sharded.tile_assign is not None
+    # tile_assign is a permutation of all padded tiles
+    flat = np.sort(sharded.tile_assign.reshape(-1))
+    np.testing.assert_array_equal(flat, np.arange(flat.size))
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(
+        spmm_sharded(sharded, b, 0.85, -2.06, c, backend=backend)
+    )
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_balanced_beats_contiguous_on_powerlaw():
+    """VERDICT round-2 item 4: shard-imbalance ratio <= 1.2x on a skewed
+    matrix where contiguous slabs are badly imbalanced."""
+    coo = _powerlaw(4096, 512, 60000, seed=7)
+    cfg = CFG.with_(tile_m=64)
+    cont = pack_sharded(coo, 8, cfg, balance="contiguous")
+    bal = pack_sharded(coo, 8, cfg, balance="nnz")
+    assert bal.shard_nnz.sum() == coo.nnz == cont.shard_nnz.sum()
+    assert bal.nnz_imbalance <= 1.2
+    assert bal.nnz_imbalance <= cont.nnz_imbalance
+    # balanced packing also bounds the padded group count (= kernel steps,
+    # the real per-shard time) by the balance
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((512, 16)).astype(np.float32)
+    c = rng.standard_normal((4096, 16)).astype(np.float32)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 1.5, -0.5, c)
+    got = np.asarray(spmm_sharded(bal, b, 1.5, -0.5, c, backend="xla"))
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_balanced_repeat_chain():
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlan
+
+    coo, b, c = _problem(300, 200, 32, 2500, seed=13)
+    sharded = pack_sharded(coo, 4, CFG, balance="nnz")
+    plan = ShardedSpmmPlan(sharded, 32, backend="xla")
+    csr = CSRMatrix.from_coo(coo)
+    want = c
+    for _ in range(3):
+        want = golden_spmm_exact(csr, b, 0.85, -2.06, want).astype(np.float32)
+    got = np.asarray(plan.repeat(b, 0.85, -2.06, c, times=3))
+    assert np.max(np.abs(got - want)) < 1e-3
+
+
+def test_balance_rejects_unknown():
+    coo, _, _ = _problem(64, 64, 8, 100)
+    with pytest.raises(ValueError, match="balance"):
+        pack_sharded(coo, 2, CFG, balance="rows")
