@@ -23,7 +23,7 @@ from sextans_tpu.format.pack_edge import PackedSpMatrixEdge, pack_edge
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU, pack_mxu
 from sextans_tpu.io.mtx import MtxHeader, read_mtx, read_mtx_coo, write_mtx
 from sextans_tpu.ops.golden import golden_spmm, golden_spmm_exact, spmm_flops
-from sextans_tpu.ops.autodiff import spmm_op
+from sextans_tpu.ops.autodiff import spmm_op, spmm_value_op
 from sextans_tpu.ops.hybrid import HybridSpmmPlan, HybridSplit, split_structure
 from sextans_tpu.ops.plan import SpmmPlan
 from sextans_tpu.parallel.partition import ShardedSpMatrix, pack_sharded, pack_sharded_k
@@ -65,6 +65,7 @@ __all__ = [
     "split_structure",
     "spmm",
     "spmm_op",
+    "spmm_value_op",
     "ShardedSpMatrix",
     "pack_sharded",
     "pack_sharded_k",
