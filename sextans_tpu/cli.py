@@ -78,6 +78,29 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="pick block_k/group size analytically from the sparsity pattern",
     )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=None,
+        metavar="S",
+        help="multi-chip execution over an S-device mesh (row-block or "
+        "K-sharded; uses the CPU mesh when fewer TPU chips are attached — "
+        "set XLA_FLAGS=--xla_force_host_platform_device_count=S)",
+    )
+    p.add_argument(
+        "--shard-mode",
+        default="row",
+        choices=["row", "k"],
+        help="row = A/C row-sharded, B replicated (zero collectives); "
+        "k = A column-slab sharded with an ICI psum_scatter of C partials",
+    )
+    p.add_argument(
+        "--shard-balance",
+        default="nnz",
+        choices=["nnz", "contiguous"],
+        help="row-mode shard assignment: nnz = LPT-balanced m-tiles "
+        "(the row%%64 PE-interleave analog), contiguous = equal row slabs",
+    )
     return p
 
 
@@ -191,7 +214,52 @@ def main(argv=None) -> int:
     from sextans_tpu.ops.spmm import plan as make_plan
     from sextans_tpu.utils.timing import time_repeat
 
-    if split is not None:
+    if args.shards is not None and split is not None:
+        print("--shards is incompatible with --hybrid; ignoring --hybrid")
+        split = None
+    if args.shards is not None:
+        # Multi-chip path: pack per shard and execute under shard_map over
+        # the device mesh (SURVEY.md §2.4 "multi-device"). Falls back to the
+        # virtual CPU mesh (the hwsim analog) when the process has fewer
+        # devices than requested shards.
+        from sextans_tpu.parallel.partition import pack_sharded, pack_sharded_k
+        from sextans_tpu.parallel.sharding import (
+            ShardedSpmmPlan,
+            ShardedSpmmPlanK,
+            make_mesh,
+        )
+
+        if len(jax.devices()) < args.shards:
+            jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < args.shards:
+            print(
+                f"need {args.shards} devices, have {len(jax.devices())} "
+                "(set XLA_FLAGS=--xla_force_host_platform_device_count)"
+            )
+            return 2
+        mesh = make_mesh(args.shards)
+        t0 = time.perf_counter()
+        if args.shard_mode == "k":
+            sharded = pack_sharded_k(coo, args.shards, cfg, fmt=fmt)
+            pl = ShardedSpmmPlanK(sharded, n, mesh=mesh)
+        else:
+            sharded = pack_sharded(
+                coo, args.shards, cfg, fmt=fmt, balance=args.shard_balance
+            )
+            pl = ShardedSpmmPlan(sharded, n, mesh=mesh)
+        print(
+            f"sharded pack ({(time.perf_counter() - t0) * 1e3:.1f} msec): "
+            f"{args.shards} shards ({args.shard_mode}-mode, fmt={fmt}), "
+            f"m_local={sharded.m_local}, groups/shard={sharded.n_groups}"
+        )
+        if sharded.shard_nnz is not None:
+            per = ", ".join(str(int(x)) for x in sharded.shard_nnz)
+            print(
+                f"per-shard nnz: [{per}]  "
+                f"imbalance {sharded.nnz_imbalance:.2f}x"
+            )
+        print(f"mesh: {mesh}")
+    elif split is not None:
         from sextans_tpu.ops.hybrid import HybridSpmmPlan
 
         pl = HybridSpmmPlan(

@@ -72,3 +72,34 @@ def test_cli_config_overrides(small_mtx, capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0 and "Success!" in out
+
+
+def test_cli_shards_row(small_mtx, capsys):
+    """--shards drives the sharded executor on the virtual CPU mesh and
+    prints per-shard stats (VERDICT r2 item 8: L5 parity for multi-chip)."""
+    rc = main([str(small_mtx), "16", "--backend", "xla", "--shards", "4",
+               "--tile-m", "16", "--window-k", "32"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Success!" in out
+    assert "4 shards (row-mode" in out
+    assert "per-shard nnz" in out
+    assert "imbalance" in out
+
+
+def test_cli_shards_k_mode(small_mtx, capsys):
+    rc = main([str(small_mtx), "16", "--backend", "xla", "--shards", "2",
+               "--shard-mode", "k", "--tile-m", "16", "--window-k", "32"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Success!" in out
+    assert "2 shards (k-mode" in out
+
+
+def test_cli_shards_contiguous_balance(small_mtx, capsys):
+    rc = main([str(small_mtx), "16", "--backend", "xla", "--shards", "2",
+               "--shard-balance", "contiguous", "--tile-m", "16",
+               "--window-k", "32"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Success!" in out
