@@ -13,12 +13,18 @@ from typing import Optional
 
 __all__ = ["SpmmConfig", "cdiv", "round_up", "check_kernel_vmem"]
 
-# Empirical single-copy working-set envelope on v5e: configs totalling
-# ~21.8 MiB by this accounting compile and run (Mosaic spills/serializes
-# some buffers), while ~24.7 MiB crashes the TPU compiler
-# (tpu_compile_helper exit 1). 22 MiB admits every validated-good config
-# and rejects the known-bad class.
-VMEM_BYTES = 22 * 1024 * 1024
+# Scoped-VMEM envelope, measured by bisection on v5e (round 3,
+# benchmarks/scratch/vmem_bisect.py): Pallas double-buffers every
+# grid-streamed block (B window, C in, C out, vals), so the real working
+# set is acc + 2*(B + C + vals), and the compiler's hard cap is the
+# kernels' vmem_limit_bytes=100 MiB — the probe config accounted 56 MiB
+# single-copy died with "ran out of scoped vmem ... by 4.00M" (104 MiB
+# double-buffered), while a 49 MiB double-buffered config runs fine.
+# 98 MiB leaves 2 MiB headroom for Mosaic's own scratch. (The round-2
+# tile_m=4864 "crash" that motivated the old 22 MiB guard no longer
+# reproduces — every config in that class now compiles and runs; it was a
+# transient compile-service failure, not a real limit.)
+VMEM_BYTES = 98 * 1024 * 1024
 
 
 def check_kernel_vmem(
@@ -31,18 +37,22 @@ def check_kernel_vmem(
 ) -> None:
     """Reject kernel configs whose VMEM working set cannot fit.
 
-    Without this guard, oversized configs die inside the TPU compiler with
-    an opaque ``tpu_compile_helper exit 1`` (observed on v5e for
-    tile_m x tile_n accumulators + window buffers past ~16 MiB); the
-    autotuner must see a typed error it can log and skip instead.
+    Models Pallas double-buffering of the streamed blocks (B window, C
+    in+out, vals) against the 100 MiB scoped-VMEM cap; oversized configs
+    otherwise die inside the TPU compiler with an opaque scoped-vmem OOM —
+    the autotuner must see a typed error it can log and skip instead.
+    ``acc_bytes`` (kernel scratch) is single-copy; ``c_bytes`` already
+    includes the C-in + C-out pair.
     """
-    total = acc_bytes + b_window_bytes + c_bytes + 2 * vals_bytes
+    total = acc_bytes + 2 * (b_window_bytes + c_bytes + vals_bytes)
     if total > limit:
         raise ValueError(
-            f"kernel VMEM working set {total / 2**20:.1f} MiB exceeds "
-            f"{limit / 2**20:.1f} MiB (acc {acc_bytes / 2**20:.1f} + "
-            f"B window {b_window_bytes / 2**20:.1f} + "
-            f"C {c_bytes / 2**20:.1f} + vals {2 * vals_bytes / 2**20:.1f}); "
+            f"kernel VMEM working set {total / 2**20:.1f} MiB "
+            f"(double-buffered) exceeds {limit / 2**20:.1f} MiB "
+            f"(acc {acc_bytes / 2**20:.1f} + "
+            f"2*B window {2 * b_window_bytes / 2**20:.1f} + "
+            f"2*C {2 * c_bytes / 2**20:.1f} + "
+            f"2*vals {2 * vals_bytes / 2**20:.1f}); "
             "reduce tile_m/tile_n/window_k"
         )
 

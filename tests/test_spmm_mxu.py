@@ -160,17 +160,20 @@ def test_vmem_guard_rejects_oversized_config():
     from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded
     import jax.numpy as jnp
 
+    # Config over the measured double-buffered scoped-VMEM cap (round-3
+    # bisect, benchmarks/scratch/vmem_bisect.py: acc + 2*(B + C + vals)
+    # vs the 100 MiB limit — this one models 112 MiB).
     coo = COOMatrix.random(256, 256, 500, seed=1)
-    cfg = SpmmConfig(tile_m=4864, window_k=4736, block_k=128, group_blocks=8)
+    cfg = SpmmConfig(tile_m=8192, window_k=8192, block_k=128, group_blocks=8)
     p = pack_mxu(coo, cfg)
     with pytest.raises(ValueError, match="VMEM"):
         spmm_mxu_padded(
             jnp.asarray(p.vals), jnp.asarray(p.qm), jnp.asarray(p.bcol),
             jnp.asarray(p.group_mtile), jnp.asarray(p.group_kwin),
-            jnp.zeros((4736, 512), jnp.float32),
-            jnp.zeros((4864, 512), jnp.float32),
+            jnp.zeros((8192, 512), jnp.float32),
+            jnp.zeros((8192, 512), jnp.float32),
             jnp.float32(1.0), jnp.float32(0.0),
-            tile_m=4864, window_k=4736, block_k=128, group_blocks=8,
+            tile_m=8192, window_k=8192, block_k=128, group_blocks=8,
             tile_n=512,
         )
 
