@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="degree-sort columns before packing (helps power-law matrices)",
     )
     p.add_argument(
+        "--reorder-rows",
+        action="store_true",
+        help="degree-sort rows before packing; with --reorder-cols this is "
+        "the 2-D degree reorder clustering the power-law hub core into "
+        "dense blocks (C rows are permuted at the plan boundary)",
+    )
+    p.add_argument(
         "--autotune",
         action="store_true",
         help="pick block_k/group size analytically from the sparsity pattern",
@@ -178,13 +185,16 @@ def main(argv=None) -> int:
     if fmt == "mxu":
         from sextans_tpu.format.pack_mxu import pack_mxu
 
-        packed = pack_mxu(coo, cfg, reorder_cols=args.reorder_cols)
+        packed = pack_mxu(coo, cfg, reorder_cols=args.reorder_cols,
+                          reorder_rows_=args.reorder_rows)
     elif fmt == "edge":
         from sextans_tpu.format.pack_edge import pack_edge
 
-        packed = pack_edge(coo, cfg, reorder_cols=args.reorder_cols)
+        packed = pack_edge(coo, cfg, reorder_cols=args.reorder_cols,
+                           reorder_rows_=args.reorder_rows)
     else:
-        packed = pack(coo, cfg, reorder_cols=args.reorder_cols)
+        packed = pack(coo, cfg, reorder_cols=args.reorder_cols,
+                      reorder_rows_=args.reorder_rows)
     t_pack = time.perf_counter() - t0
     s = packed.stats
     print(

@@ -119,6 +119,10 @@ class PackedSpMatrix:
     # reordered as A[:, col_perm]; executors must feed B[col_perm] to the
     # kernel. Improves block fill on skewed (power-law) matrices.
     col_perm: Optional[np.ndarray] = None
+    # Optional row permutation (degree sort): A was packed as A[row_perm, :];
+    # executors feed C[row_perm] in and scatter the output back. Together
+    # with col_perm this is the 2-D degree reorder for power-law matrices.
+    row_perm: Optional[np.ndarray] = None
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -191,6 +195,11 @@ class PackedSpMatrix:
                 if self.col_perm is not None
                 else np.zeros(0, dtype=np.int32)
             ),
+            row_perm=(
+                self.row_perm
+                if self.row_perm is not None
+                else np.zeros(0, dtype=np.int32)
+            ),
         )
 
     @staticmethod
@@ -234,6 +243,9 @@ class PackedSpMatrix:
             col_perm=(
                 z["col_perm"] if "col_perm" in z and z["col_perm"].size else None
             ),
+            row_perm=(
+                z["row_perm"] if "row_perm" in z and z["row_perm"].size else None
+            ),
         )
 
 
@@ -253,11 +265,33 @@ def reorder_columns(coo: COOMatrix):
     )
 
 
+def reorder_rows(coo: COOMatrix):
+    """Degree-sort the rows of ``coo`` (descending). Returns
+    ``(reordered_coo, row_perm)`` with ``reordered[i, :] == coo[row_perm[i], :]``.
+
+    Combined with :func:`reorder_columns` this is the 2-D degree reorder:
+    hub rows x hub columns cluster into a dense top-left corner, so the
+    power-law core that shatters blocked formats (near-empty 8xBK blocks
+    scattered over the whole plane) concentrates into well-filled blocks.
+    Executors gather C rows through ``row_perm`` on the way in and scatter
+    them back on the way out (ops/plan.py), so results are unchanged."""
+    m = coo.shape[0]
+    deg = np.bincount(coo.rows, minlength=m)
+    row_perm = np.argsort(-deg, kind="stable").astype(np.int32)
+    rank = np.empty(m, dtype=np.int32)
+    rank[row_perm] = np.arange(m, dtype=np.int32)
+    return (
+        COOMatrix(coo.shape, rank[coo.rows], coo.cols, coo.vals),
+        row_perm,
+    )
+
+
 def pack(
     coo: COOMatrix,
     config: SpmmConfig = SpmmConfig(),
     impl: str = "auto",
     reorder_cols: bool = False,
+    reorder_rows_: bool = False,
 ) -> PackedSpMatrix:
     """Pack a COO matrix into the tiled block format.
 
@@ -269,12 +303,18 @@ def pack(
     (clusters hub columns of power-law matrices into dense blocks). The
     permutation is recorded in ``col_perm``; executors apply ``B[col_perm]``
     on device, so results are unchanged.
+
+    ``reorder_rows_``: same for rows (2-D degree reorder when combined);
+    recorded in ``row_perm``, executors permute C at the plan boundary.
     """
     config.validate_vpu()
     m, k = coo.shape
     col_perm = None
+    row_perm = None
     if reorder_cols and coo.nnz > 0:
         coo, col_perm = reorder_columns(coo)
+    if reorder_rows_ and coo.nnz > 0:
+        coo, row_perm = reorder_rows(coo)
     if impl == "auto":
         from sextans_tpu.runtime import native
 
@@ -282,6 +322,7 @@ def pack(
     if impl == "native":
         packed = _pack_native(coo, config)
         packed.col_perm = col_perm
+        packed.row_perm = row_perm
         return packed
     if impl != "numpy":
         raise ValueError(f"unknown pack impl {impl!r}")
@@ -411,6 +452,7 @@ def pack(
     )
     return PackedSpMatrix(
         col_perm=col_perm,
+        row_perm=row_perm,
         m=m,
         k=k,
         nnz=nnz,

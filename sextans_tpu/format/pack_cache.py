@@ -34,7 +34,9 @@ from sextans_tpu.utils.config import SpmmConfig
 __all__ = ["PackCache", "pack_signature"]
 
 
-def pack_signature(cfg: SpmmConfig, fmt: str, reorder_cols: bool) -> str:
+def pack_signature(
+    cfg: SpmmConfig, fmt: str, reorder_cols: bool, reorder_rows: bool = False
+) -> str:
     """Canonical string of the fields that determine the packed bytes."""
     if fmt == "edge":
         fields = (cfg.tile_m, cfg.window_k, cfg.edge_chunk, cfg.edge_lanes)
@@ -47,7 +49,10 @@ def pack_signature(cfg: SpmmConfig, fmt: str, reorder_cols: bool) -> str:
         )
     else:
         raise ValueError(f"unknown pack format {fmt!r}")
-    return f"{fmt}|{fields}|reorder={bool(reorder_cols)}"
+    sig = f"{fmt}|{fields}|reorder={bool(reorder_cols)}"
+    if reorder_rows:  # appended only when set: keys of older caches survive
+        sig += "|rrows=True"
+    return sig
 
 
 def _load_fmt(path: Path, fmt: str):
@@ -64,18 +69,22 @@ def _load_fmt(path: Path, fmt: str):
     return PackedSpMatrix.load(path)
 
 
-def _pack_fmt(coo: COOMatrix, cfg: SpmmConfig, fmt: str, reorder_cols: bool):
+def _pack_fmt(coo: COOMatrix, cfg: SpmmConfig, fmt: str, reorder_cols: bool,
+              reorder_rows: bool = False):
     if fmt == "edge":
         from sextans_tpu.format.pack_edge import pack_edge
 
-        return pack_edge(coo, cfg, reorder_cols=reorder_cols)
+        return pack_edge(coo, cfg, reorder_cols=reorder_cols,
+                         reorder_rows_=reorder_rows)
     if fmt == "mxu":
         from sextans_tpu.format.pack_mxu import pack_mxu
 
-        return pack_mxu(coo, cfg, reorder_cols=reorder_cols)
+        return pack_mxu(coo, cfg, reorder_cols=reorder_cols,
+                        reorder_rows_=reorder_rows)
     from sextans_tpu.format.pack import pack
 
-    return pack(coo, cfg, reorder_cols=reorder_cols)
+    return pack(coo, cfg, reorder_cols=reorder_cols,
+                reorder_rows_=reorder_rows)
 
 
 class PackCache:
@@ -134,13 +143,14 @@ class PackCache:
         return self.root / f"{safe[:48]}_{digest}.npz"
 
     def get_or_pack(self, name: str, coo: COOMatrix, cfg: SpmmConfig,
-                    fmt: str, reorder_cols: bool = False):
+                    fmt: str, reorder_cols: bool = False,
+                    reorder_rows: bool = False):
         """Return the packed matrix, from memory, disk, or a fresh pack.
 
         The returned object carries the caller's full ``cfg`` (kernel knobs
         included), not the config stored on disk.
         """
-        sig = pack_signature(cfg, fmt, reorder_cols)
+        sig = pack_signature(cfg, fmt, reorder_cols, reorder_rows)
         fp = self._fingerprint(name, coo)
         if fp != self._mem_fp:
             # moving to a new matrix: drop the old one's packs (full-suite
@@ -162,7 +172,7 @@ class PackCache:
             except Exception:
                 pass  # corrupt/stale file: fall through to re-pack
         self.misses += 1
-        packed = _pack_fmt(coo, cfg, fmt, reorder_cols)
+        packed = _pack_fmt(coo, cfg, fmt, reorder_cols, reorder_rows)
         try:
             self.root.mkdir(parents=True, exist_ok=True)
             tmp = path.with_suffix(".tmp.npz")

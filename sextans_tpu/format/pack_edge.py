@@ -72,6 +72,7 @@ class PackedSpMatrixEdge:
     chunk_kwin: np.ndarray  # (chunks,) i32
     stats: PackStats
     col_perm: Optional[np.ndarray] = None
+    row_perm: Optional[np.ndarray] = None
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -140,6 +141,11 @@ class PackedSpMatrixEdge:
                 if self.col_perm is not None
                 else np.empty(0, np.int32)
             ),
+            row_perm=(
+                self.row_perm
+                if self.row_perm is not None
+                else np.empty(0, np.int32)
+            ),
         )
 
     @classmethod
@@ -172,6 +178,9 @@ class PackedSpMatrixEdge:
             col_perm=(
                 z["col_perm"] if "col_perm" in z and z["col_perm"].size else None
             ),
+            row_perm=(
+                z["row_perm"] if "row_perm" in z and z["row_perm"].size else None
+            ),
         )
 
 
@@ -179,6 +188,7 @@ def pack_edge(
     coo: COOMatrix,
     config: SpmmConfig,
     reorder_cols: bool = False,
+    reorder_rows_: bool = False,
 ) -> PackedSpMatrixEdge:
     """Pack a COO matrix into the edge-stream format.
 
@@ -195,10 +205,15 @@ def pack_edge(
         )
 
     col_perm = None
+    row_perm = None
     if reorder_cols and coo.nnz > 0:
         from sextans_tpu.format.pack import reorder_columns
 
         coo, col_perm = reorder_columns(coo)
+    if reorder_rows_ and coo.nnz > 0:
+        from sextans_tpu.format.pack import reorder_rows
+
+        coo, row_perm = reorder_rows(coo)
 
     m, k = coo.shape
     n_mtiles = max(1, cdiv(m, tm))
@@ -221,7 +236,7 @@ def pack_edge(
                 np.arange(n_mtiles, dtype=np.int32), np.int32(-1)
             ),
             chunk_kwin=np.zeros(n_mtiles, np.int32),
-            stats=stats, col_perm=col_perm,
+            stats=stats, col_perm=col_perm, row_perm=row_perm,
         )
 
     rows = coo.rows.astype(np.int64)
@@ -362,5 +377,5 @@ def pack_edge(
         n_mtiles=n_mtiles, n_kwins=n_kwins,
         vals=vals, meta=meta,
         chunk_mtile=chunk_mtile, chunk_kwin=chunk_kwin,
-        stats=stats, col_perm=col_perm,
+        stats=stats, col_perm=col_perm, row_perm=row_perm,
     )

@@ -58,6 +58,7 @@ class PackedSpMatrixMXU:
     group_kwin: np.ndarray  # (groups,) i32
     stats: PackStats
     col_perm: Optional[np.ndarray] = None
+    row_perm: Optional[np.ndarray] = None
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -125,6 +126,11 @@ class PackedSpMatrixMXU:
                 if self.col_perm is not None
                 else np.zeros(0, dtype=np.int32)
             ),
+            row_perm=(
+                self.row_perm
+                if self.row_perm is not None
+                else np.zeros(0, dtype=np.int32)
+            ),
         )
 
     @staticmethod
@@ -169,6 +175,11 @@ class PackedSpMatrixMXU:
             col_perm=(
                 z["col_perm"] if z["col_perm"].size else None
             ),
+            row_perm=(
+                z["row_perm"]
+                if "row_perm" in z and z["row_perm"].size
+                else None
+            ),
         )
 
 
@@ -177,6 +188,7 @@ def pack_mxu(
     config: SpmmConfig,
     reorder_cols: bool = False,
     impl: str = "auto",
+    reorder_rows_: bool = False,
 ) -> PackedSpMatrixMXU:
     """Pack a COO matrix into the MXU dense-slab format.
 
@@ -202,10 +214,15 @@ def pack_mxu(
         raise ValueError("window_k must be a multiple of block_k")
 
     col_perm = None
+    row_perm = None
     if reorder_cols and coo.nnz > 0:
         from sextans_tpu.format.pack import reorder_columns
 
         coo, col_perm = reorder_columns(coo)
+    if reorder_rows_ and coo.nnz > 0:
+        from sextans_tpu.format.pack import reorder_rows
+
+        coo, row_perm = reorder_rows(coo)
 
     m, k = coo.shape
     n_mtiles = max(1, cdiv(m, tm))
@@ -240,7 +257,7 @@ def pack_mxu(
             n_mtiles=n_mtiles, n_kwins=n_kwins,
             vals=vp, qm=qm, bcol=bcol,
             group_mtile=group_mtile, group_kwin=group_kwin,
-            stats=stats, col_perm=col_perm,
+            stats=stats, col_perm=col_perm, row_perm=row_perm,
         )
     if impl != "numpy":
         raise ValueError(f"unknown pack impl {impl!r}")
@@ -350,6 +367,7 @@ def pack_mxu(
         group_kwin=group_kwin,
         stats=stats,
         col_perm=col_perm,
+        row_perm=row_perm,
     )
 
 

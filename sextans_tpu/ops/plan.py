@@ -219,19 +219,40 @@ class SpmmPlan:
         col_perm = (
             jnp.asarray(packed.col_perm) if packed.col_perm is not None else None
         )
+        row_perm = (
+            jnp.asarray(getattr(packed, "row_perm", None))
+            if getattr(packed, "row_perm", None) is not None
+            else None
+        )
+        if row_perm is not None:
+            import numpy as _np
+
+            inv = _np.empty(m, dtype=_np.int32)
+            inv[packed.row_perm] = _np.arange(m, dtype=_np.int32)
+            inv_row = jnp.asarray(inv)
+        else:
+            inv_row = None
 
         def _permute_b(b):
             # degree-sorted pack: feed the kernel B rows in packed column order
             return b if col_perm is None else b[col_perm]
 
+        def _permute_c(c):
+            # 2-D reorder: the kernel works in row-permuted space; C rows
+            # are gathered in here and scattered back in _unpermute_out
+            return c if row_perm is None else c[row_perm]
+
+        def _unpermute_out(out):
+            return out if inv_row is None else out[inv_row]
+
         def _step(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
             b_p = jnp.pad(_permute_b(b), ((0, k_padded - k), (0, n_padded - n_)))
-            c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
+            c_p = jnp.pad(_permute_c(c), ((0, m_padded - m), (0, n_padded - n_)))
             out = run(
                 vals, qrow, bcol, gmt, gkw, b_p, c_p, alpha, beta,
                 **kernel_kwargs, **extra,
             )
-            return out[:m, :n_]
+            return _unpermute_out(out[:m, :n_])
 
         self._jit = jax.jit(_step)
 
@@ -248,14 +269,16 @@ class SpmmPlan:
                     vals, qrow, bcol, gmt, gkw, b_p, c_shape, alpha,
                     jnp.float32(0.0), **kernel_kwargs, **extra, with_c=False,
                 )
-                return out[:m, :n_]
+                return _unpermute_out(out[:m, :n_])
 
             self._jit_noc = jax.jit(_step_noc)
 
         def _repeat(times):
             def rep(vals, qrow, bcol, gmt, gkw, b, c, alpha, beta):
                 b_p = jnp.pad(_permute_b(b), ((0, k_padded - k), (0, n_padded - n_)))
-                c_p = jnp.pad(c, ((0, m_padded - m), (0, n_padded - n_)))
+                # repeat chain runs entirely in row-permuted space; the
+                # gather/scatter sit outside the timed loop
+                c_p = jnp.pad(_permute_c(c), ((0, m_padded - m), (0, n_padded - n_)))
 
                 def body(_, c_acc):
                     # XLA backend only: tie B to the loop carry so LICM cannot
@@ -274,7 +297,7 @@ class SpmmPlan:
                     )
 
                 out = jax.lax.fori_loop(0, times, body, c_p)
-                return out[:m, :n_]
+                return _unpermute_out(out[:m, :n_])
 
             return jax.jit(rep)
 
