@@ -208,7 +208,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             and coo.nnz > 5_000_000
             and _cover_upper_bound() < 0.3
         )
-        cand = None if screened_out else split_structure(coo)
+        cand = None if screened_out else split_structure(coo, n=n)
         dense_cover = (
             0.0
             if cand is None

@@ -177,7 +177,7 @@ def main(argv=None) -> int:
     if args.hybrid:
         from sextans_tpu.ops.hybrid import split_structure
 
-        split = split_structure(coo)
+        split = split_structure(coo, n=n)
         print(split.summary())
 
     print("Packing sparse A for TPU ...", flush=True)

@@ -79,9 +79,38 @@ class HybridSplit:
         )
 
 
+def _residue_edge_cycles(n: int) -> float:
+    """Best-case modeled cycles to process ONE residue nonzero across the
+    full N width (edge-kernel model, utils/autotune.py constants)."""
+    from sextans_tpu.utils.autotune import (
+        EDGE_CYCLES_FIXED,
+        EDGE_CYCLES_PER_128LANES,
+    )
+
+    best = float("inf")
+    for tn in (128, 256, 512):
+        panels = max(1, -(-n // tn))
+        best = min(
+            best,
+            EDGE_CYCLES_FIXED * panels + EDGE_CYCLES_PER_128LANES * n / 128,
+        )
+    return best
+
+
+def _cost_based_degree(m_other: int, n: int, length: int) -> int:
+    """Marginal break-even degree for lifting one column (or row) into the
+    dense head: lift when ``deg * residue_edge_cycles`` exceeds the dense
+    strip's cost (MXU flops at ~10k FLOP/cycle + its HBM read)."""
+    from sextans_tpu.utils.autotune import BYTES_PER_CYCLE
+
+    dense_cycles = 2.0 * length * n / 10000.0 + length * 4 / BYTES_PER_CYCLE
+    return max(4, int(dense_cycles / max(_residue_edge_cycles(n), 1e-9)))
+
+
 def split_structure(
     coo: COOMatrix,
     *,
+    n: Optional[int] = None,
     diag_min_density: float = 0.15,
     max_diags: int = 48,
     head_min_degree_frac: float = 0.004,
@@ -98,12 +127,14 @@ def split_structure(
     * a diagonal is lifted when it holds >= ``diag_min_density * m``
       nonzeros — below that, the (M, N) elementwise pass costs more memory
       traffic than the nonzeros justify;
-    * a column is lifted into the head when its degree is
-      >= ``head_min_degree_frac * m`` — measured break-even on v5e: the
-      dense MXU column costs ~4 us at (M=100k, N=512) vs ~100 cycles per
-      residue nonzero, so columns beyond ~0.04% density already pay; the
-      default stays an order of magnitude above that to bound the dense
-      head's memory (M x H x 4 bytes);
+    * a column is lifted into the head when it pays: with ``n`` given, the
+      threshold is the *marginal break-even degree* — the dense MXU strip
+      costs ``2*M*n/10k + M*4/BW`` cycles vs ~``deg * edge-kernel
+      per-edge`` cycles in the residue (round-3 widening: on webgraph-class
+      at N=512 this lifts columns down to degree ~125 where the old fixed
+      0.4%% rule stopped at 400). Without ``n``, the fixed
+      ``head_min_degree_frac * m`` rule applies. Either way the head is
+      capped at ``max_head_cols`` densest columns (M x H x 4 bytes);
     * everything else is the residue, in ORIGINAL coordinates (no global
       permutation: B is only gathered for the head's H rows).
     """
@@ -141,10 +172,18 @@ def split_structure(
     rem = ~taken
     deg = np.bincount(cols[rem], minlength=k)
     # absolute floor: a column below ~4 nnz never beats the residue
-    deg_thresh = max(4, int(head_min_degree_frac * m))
+    if n is not None:
+        deg_thresh = _cost_based_degree(k, n, length=m)
+    else:
+        deg_thresh = max(4, int(head_min_degree_frac * m))
     head_cols = np.flatnonzero(deg >= deg_thresh)
-    if head_cols.size > max_head_cols:
-        top = np.argsort(-deg[head_cols], kind="stable")[:max_head_cols]
+    # memory cap: the dense head costs M x H x 4 bytes on host AND device —
+    # bound it at ~1.5 GB so 1M-row matrices cannot blow up under the
+    # cost-widened threshold
+    max_head_eff = min(max_head_cols, max(min_head_cols,
+                                          int(1.5e9 / max(4 * m, 1))))
+    if head_cols.size > max_head_eff:
+        top = np.argsort(-deg[head_cols], kind="stable")[:max_head_eff]
         head_cols = np.sort(head_cols[top])
     if head_cols.size < min_head_cols:
         head_cols = np.zeros(0, dtype=np.int64)
@@ -164,7 +203,10 @@ def split_structure(
     # --- dense head rows (hub rows — circuit nets, supernode rows) ---
     rem = ~taken
     rdeg = np.bincount(rows[rem], minlength=m)
-    rdeg_thresh = max(4, int(row_min_degree_frac * k))
+    if n is not None:
+        rdeg_thresh = _cost_based_degree(m, n, length=k)
+    else:
+        rdeg_thresh = max(4, int(row_min_degree_frac * k))
     head_rows = np.flatnonzero(rdeg >= rdeg_thresh)
     if head_rows.size > max_head_rows:
         top = np.argsort(-rdeg[head_rows], kind="stable")[:max_head_rows]

@@ -165,3 +165,39 @@ def test_dia_pallas_kernel_path_matches():
     two = np.asarray(plan(b, 0.85, -2.06, got))
     chained = np.asarray(plan.repeat(b, 0.85, -2.06, c, times=2))
     np.testing.assert_allclose(chained, two, rtol=1e-5, atol=1e-4)
+
+
+def test_cost_based_head_widens_when_it_pays():
+    """Round-3 lever: with n given, the head threshold is the marginal
+    break-even degree — on a power-law matrix this lifts MORE hub columns
+    than the fixed 0.4% rule (webgraph-class: 226 -> ~600 cols)."""
+    rng = np.random.default_rng(6)
+    m = 20000
+    pop = rng.zipf(1.8, size=m).astype(np.float64)
+    pop /= pop.sum()
+    rows = rng.integers(0, m, size=16 * m)
+    cols = rng.choice(m, size=16 * m, p=pop)
+    lin = rows.astype(np.int64) * m + cols
+    _, keep = np.unique(lin, return_index=True)
+    coo = COOMatrix(
+        (m, m), rows[keep].astype(np.int32), cols[keep].astype(np.int32),
+        np.ones(keep.size, np.float32),
+    )
+    fixed = split_structure(coo)
+    adaptive = split_structure(coo, n=512)
+    assert adaptive.head_cols.size > fixed.head_cols.size
+    assert adaptive.residue.nnz < fixed.residue.nnz
+    # decomposition still exact
+    total = (adaptive.diag_nnz + adaptive.head_nnz + adaptive.head_row_nnz
+             + adaptive.residue.nnz)
+    assert total == coo.nnz
+
+
+def test_cost_based_head_memory_cap():
+    """1M-row matrices must not allocate multi-GB dense heads."""
+    from sextans_tpu.ops.hybrid import _cost_based_degree
+
+    # threshold scales with M: at m=1e6, n=512 the break-even degree is
+    # >1000, so only true hubs lift
+    assert _cost_based_degree(10**6, 512, length=10**6) > 1000
+    assert _cost_based_degree(10**5, 512, length=10**5) < 200
