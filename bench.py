@@ -87,8 +87,18 @@ def main():
         tile_m=1024, window_k=4096, block_k=128, group_blocks=8,
         chunk_unroll=2,
     )
+    # single-tile config: M fits one 4864-row tile and K one 4736-col
+    # window, so the whole product is one (tile, window) job — zero C-tile
+    # switching, B resident throughout. Legal since the round-3 VMEM
+    # envelope measurement (docs/DESIGN.md §8).
+    mxu_one = SpmmConfig(
+        tile_m=4864, window_k=4736, block_k=128, group_blocks=8,
+        chunk_unroll=2,
+    )
     candidates = [
         (mxu_cfg, "mxu"),
+        (mxu_one, "mxu"),
+        (mxu_one.with_(tile_n=256), "mxu"),
         (mxu_cfg.with_(tile_n=256), "mxu"),
         (SpmmConfig(), preferred),  # stable VPU config: n_acc=1, tile_n=512
         (SpmmConfig(), "xla"),

@@ -1,19 +1,26 @@
-"""N-sweep on nasa4704: both kernel families across N in {8..512}.
+"""Canonical N-sweep: N in {8..1024} across three structure classes.
 
-The reference's canonical workload is N=16 (CMakeLists.txt:49) and its
-N-slab design keeps throughput N-independent; this sweep documents how the
-TPU engines behave across output widths (the round-2 skinny-N story:
-MXU CT kernel at N<=32, standard MXU above).
+The reference supports N up to 65,535 through 8-column output slabs
+(src/sextans-host.cpp:223; src/sextans.cpp:52-60) and its throughput is
+N-independent by construction. This sweep documents the TPU engines across
+output widths — the skinny-N story (MXU C-transposed kernel at N<=32), the
+MXU crossover, and the restream behavior at N>512 — on the reference's
+canonical matrix, the densest FEM stand-in, and the adversarial power-law
+class (VERDICT r2 item 7).
 
-Usage: python benchmarks/nsweep.py [--out benchmarks/results_r2_nsweep.json]
+Rows use the same protocol/schema as the canonical suite (run_one:
+candidate race, canary gating, f64 oracle + ulp column), so the output
+merges into the canonical results file.
+
+Usage: python benchmarks/nsweep.py [--out benchmarks/results_r3_nsweep.json]
+    [--matrices nasa4704 pdb1HYS_like webgraph_like] [--ns 8 16 ... 1024]
 """
 import argparse
 import json
 import sys
+import time
 from datetime import datetime, timezone
 from pathlib import Path
-
-import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -26,92 +33,81 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--ns", type=int, nargs="+",
-                    default=[8, 16, 32, 64, 128, 256, 512])
+                    default=[8, 16, 32, 64, 128, 256, 512, 1024])
+    ap.add_argument("--matrices", nargs="+",
+                    default=["nasa4704", "pdb1HYS_like", "webgraph_like"])
+    ap.add_argument("--tuned-configs", default=None)
+    ap.add_argument("--deadline-ts", type=float, default=None)
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from benchmarks.matrices import suite as suite_gens
-    from benchmarks.suite import HEALTHY_CANARY_MS, make_fast_canary
-    from sextans_tpu.format.csr import CSRMatrix
-    from sextans_tpu.format.pack import pack
-    from sextans_tpu.format.pack_mxu import pack_mxu
-    from sextans_tpu.ops.golden import golden_spmm
-    from sextans_tpu.ops.plan import SpmmPlan
+    from benchmarks.suite import (
+        HEALTHY_CANARY_MS,
+        _gen_cached,
+        make_fast_canary,
+        run_one,
+    )
+    from sextans_tpu.format.pack_cache import PackCache
     from sextans_tpu.utils.cache import enable_compilation_cache
-    from sextans_tpu.utils.config import SpmmConfig
-    from sextans_tpu.utils.timing import time_repeat
-    from sextans_tpu.utils.verify import gflops, verify
 
     enable_compilation_cache()
     log(f"devices: {jax.devices()}")
-    coo = suite_gens("small")["nasa4704"]()
-    m, k = coo.shape
-    canary = make_fast_canary()
+    gens = suite_gens("full")
     session = {
         "timestamp": datetime.now(timezone.utc).isoformat(),
         "device": str(jax.devices()[0]),
-        "nasa_canary_ms": canary(),
+        "platform": jax.devices()[0].platform,
+        "sweep": "nsweep",
     }
-    log(f"canary: {session['nasa_canary_ms']} ms")
+    canary = None
+    healthy_ms = HEALTHY_CANARY_MS
+    if jax.devices()[0].platform == "tpu":
+        raw = make_fast_canary()
+        samples = [raw() for _ in range(4)]
+        healthy_ms = round(max(HEALTHY_CANARY_MS, 1.6 * min(samples)), 3)
+        session["nasa_canary_ms"] = min(samples)
+        session["canary_healthy_ms"] = healthy_ms
+        log(f"canary baseline {min(samples)} ms; healthy {healthy_ms}")
+        canary = raw
 
-    vpu_packed = pack(coo, SpmmConfig())
-    mxu_small = pack_mxu(coo, SpmmConfig(
-        tile_m=2048, window_k=4736, block_k=128, group_blocks=32,
-        chunk_unroll=2))
-    mxu_big = pack_mxu(coo, SpmmConfig(
-        tile_m=1024, window_k=4096, block_k=128, group_blocks=8,
-        chunk_unroll=2))
+    store = None
+    if args.tuned_configs:
+        from sextans_tpu.utils.autotune import ConfigStore
 
-    rng = np.random.default_rng(0)
-    alpha, beta = 0.85, -2.06
+        store = ConfigStore(args.tuned_configs)
+
+    pack_cache = PackCache()
     rows = []
-    for n in args.ns:
-        b = rng.standard_normal((k, n)).astype(np.float32)
-        c = rng.standard_normal((m, n)).astype(np.float32)
-        ref = golden_spmm(CSRMatrix.from_coo(coo), b, alpha, beta, c)
-        b_dev, c_dev = jnp.asarray(b), jnp.asarray(c)
-        for fmt, packed in (("vpu", vpu_packed),
-                            ("mxu", mxu_small if n <= 32 else mxu_big)):
+    for name in args.matrices:
+        if name not in gens:
+            log(f"unknown matrix {name}; skipping")
+            continue
+        coo = _gen_cached(name, gens[name])
+        log(f"== {name}: {coo.shape} nnz={coo.nnz} ==")
+        for n in args.ns:
+            if args.deadline_ts and time.time() > args.deadline_ts:
+                log("deadline reached")
+                break
             try:
-                plan = SpmmPlan(packed, n,
-                                backend="pallas" if fmt == "vpu" else "mxu")
-                got = np.asarray(plan(b_dev, alpha, beta, c_dev))
-                ver = verify(ref, got)
-                # canary-gated timing (same protocol as suite.py)
-                import time as _t
-
-                pre = None
-                for attempt in range(6):
-                    pre = canary()
-                    if pre <= HEALTHY_CANARY_MS:
-                        break
-                    log(f"  canary {pre} ms: contended, backing off 60s")
-                    _t.sleep(60)
-                times = 256
-                secs = time_repeat(plan, b_dev, alpha, beta, c_dev,
-                                   times=times)
-                while secs * times < 0.3 and times < 4096:
-                    times = min(4096, int(0.35 / max(secs, 1e-6)))
-                    secs = time_repeat(plan, b_dev, alpha, beta, c_dev,
-                                       times=times)
-                post = canary()
-                row = {
-                    "n": n, "fmt": fmt, "ms": round(secs * 1e3, 4),
-                    "gflops": round(gflops(coo.nnz, m, n, secs), 1),
-                    "verify": "pass" if ver.passed else "FAIL",
-                    "ct_kernel": fmt == "mxu" and n <= 32,
-                    "canary_pre_ms": pre, "canary_post_ms": post,
-                }
-                if post > HEALTHY_CANARY_MS:
-                    row["canary_unhealthy"] = True
+                rec = run_one(
+                    name, coo, n, "auto", True, store=store, canary=canary,
+                    canary_retries=3, healthy_ms=healthy_ms,
+                    pack_cache=pack_cache,
+                )
             except Exception as e:
-                row = {"n": n, "fmt": fmt, "error": repr(e)[:160]}
-            rows.append(row)
-            log(str(row))
+                rec = {"matrix": name, "n": n, "error": repr(e)[:200]}
+            rows.append(rec)
+            log(f"  N={n}: {rec.get('gflops', '-')} GFLOPS "
+                f"(fmt={rec.get('fmt')}, verify={rec.get('verify')}, "
+                f"ulp={rec.get('max_abs_vs_f64_ulp')})")
+            if args.out:
+                Path(args.out).write_text(
+                    json.dumps({"session": session, "results": rows}, indent=1)
+                )
 
-    doc = {"session": session, "matrix": "nasa4704", "rows": rows}
+    doc = {"session": session, "results": rows}
     print(json.dumps(doc, indent=1))
     if args.out:
         Path(args.out).write_text(json.dumps(doc, indent=1))

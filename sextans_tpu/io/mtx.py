@@ -214,5 +214,17 @@ def write_mtx(path: Union[str, Path], coo, *, comment: str = "") -> None:
             for line in comment.splitlines():
                 f.write(f"% {line}\n")
         f.write(f"{coo.shape[0]} {coo.shape[1]} {coo.nnz}\n")
-        for r, c, v in zip(coo.rows, coo.cols, coo.vals):
-            f.write(f"{int(r) + 1} {int(c) + 1} {float(v):.9g}\n")
+        # vectorized body: np.savetxt writes ~10^6 lines/s vs ~10^5 for a
+        # Python loop — SuiteSparse-scale outputs need it
+        if coo.nnz:
+            np.savetxt(
+                f,
+                np.column_stack(
+                    (
+                        coo.rows.astype(np.int64) + 1,
+                        coo.cols.astype(np.int64) + 1,
+                        coo.vals.astype(np.float64),
+                    )
+                ),
+                fmt="%d %d %.9g",
+            )
