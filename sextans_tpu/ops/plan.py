@@ -192,6 +192,7 @@ class SpmmPlan:
                 edge_lanes=cfg.edge_lanes,
                 tile_n=self.tile_n,
                 interpret=(backend == "edge_interpret"),
+                masked=cfg.edge_masked,
             )
 
             def run(vals, meta, _ph, gmt, gkw, b_p, c_p, alpha, beta,

@@ -53,6 +53,7 @@ def _kernel(
     tile_n: int,
     lanes: int,
     with_c: bool,
+    masked: bool,
 ):
     if with_c:
         cin_ref, out_ref, acc_ref = rest
@@ -83,7 +84,16 @@ def _kernel(
         for j in range(L):
             col = (words[j] >> COL_SHIFT) & col_mask
             v = vals_ref[0, 0, base + j]
-            new.append(carry[j] + v * b_ref[0, pl.ds(col, 1), :])
+            contrib = v * b_ref[0, pl.ds(col, 1), :]
+            if masked:
+                # pad slots (bit 0) contribute exactly zero even when B
+                # carries Inf/NaN at the window's first row (0*Inf = NaN
+                # otherwise) — one vector select per edge buys IEEE-clean
+                # padding; off by default on the hot path
+                contrib = jnp.where(
+                    (words[j] & 1) != 0, jnp.zeros_like(contrib), contrib
+                )
+            new.append(carry[j] + contrib)
         wlast = words[L - 1]
         row_end = (wlast & 2) != 0
 
@@ -124,6 +134,7 @@ def _kernel(
         "tile_n",
         "interpret",
         "with_c",
+        "masked",
     ),
 )
 def spmm_edge_padded(
@@ -143,6 +154,7 @@ def spmm_edge_padded(
     edge_lanes: int = 1,
     interpret: bool = False,
     with_c: bool = True,
+    masked: bool = False,
 ) -> jax.Array:
     n_chunks = vals.shape[0]
     m_padded, n_padded = c_padded.shape
@@ -196,6 +208,7 @@ def spmm_edge_padded(
         tile_n=tile_n,
         lanes=edge_lanes,
         with_c=with_c,
+        masked=masked,
     )
 
     cost = pl.CostEstimate(

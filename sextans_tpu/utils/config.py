@@ -121,6 +121,11 @@ class SpmmConfig:
     # otherwise-serial register FMA chain (measured ~100 cycles/edge at
     # L=1 on v5e: latency-bound). L=1 packs with zero run padding.
     edge_lanes: int = 1
+    # edge_masked — select away pad-slot contributions in the edge kernel
+    # (one vselect per edge) so non-finite B values cannot leak NaN through
+    # 0*Inf at padding; off by default (finite-B precondition documented in
+    # format/pack_edge.py).
+    edge_masked: bool = False
 
     def __post_init__(self):
         if self.tile_m % 8 != 0 or self.tile_m <= 0:

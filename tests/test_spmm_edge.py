@@ -203,3 +203,57 @@ def test_edge_lanes_pad_accounting():
     p1, p4 = pack_edge(coo, cfg1), pack_edge(coo, cfg4)
     assert p4.stats.slots >= p1.stats.slots  # run padding costs slots
     assert p4.stats.a_bytes == 8 * p4.n_chunks * 64
+
+
+def test_masked_edge_kernel_tolerates_nonfinite_b():
+    """edge_masked=True: Inf/NaN in B rows that only padding references
+    must not leak into C (advisor r2: 0*Inf = NaN at pad slots)."""
+    import jax.numpy as jnp
+
+    from sextans_tpu.ops.plan import SpmmPlan
+
+    rng = np.random.default_rng(3)
+    m, k, n = 64, 96, 16
+    rows = rng.integers(1, m, 300).astype(np.int32)  # row 0 untouched
+    cols = rng.integers(1, k, 300).astype(np.int32)  # col 0 untouched
+    vals = rng.standard_normal(300).astype(np.float32)
+    vals[vals == 0] = 1.0
+    coo = COOMatrix((m, k), rows, cols, vals)
+    cfg = SpmmConfig(tile_m=32, window_k=32, edge_chunk=64, edge_lanes=2,
+                     tile_n=128, edge_masked=True)
+    packed = pack_edge(coo, cfg)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    b[0, :] = np.inf  # first row of the first K-window: pad-slot target
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    plan = SpmmPlan(packed, n, backend="edge_interpret")
+    got = np.asarray(plan(jnp.asarray(b), 0.85, -2.06, jnp.asarray(c)))
+    assert np.isfinite(got).all()
+    # A never references col 0, so the Inf row must not affect the result
+    from sextans_tpu.format.csr import CSRMatrix
+    from sextans_tpu.ops.golden import golden_spmm
+
+    b_clean = b.copy()
+    b_clean[0, :] = 0.0
+    want = golden_spmm(CSRMatrix.from_coo(coo), b_clean, 0.85, -2.06, c)
+    assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_unmasked_edge_kernel_documented_precondition():
+    """Without the mask the NaN leak is expected (documented finite-B
+    precondition) — this pins the behavior the mask exists to fix."""
+    import jax.numpy as jnp
+
+    from sextans_tpu.ops.plan import SpmmPlan
+
+    rng = np.random.default_rng(4)
+    m, k, n = 32, 32, 16
+    # single edge at (1, 1): slot padding references col 0
+    coo = COOMatrix((m, k), np.array([1], np.int32), np.array([1], np.int32),
+                    np.array([2.0], np.float32))
+    cfg = SpmmConfig(tile_m=32, window_k=32, edge_chunk=64, tile_n=128)
+    packed = pack_edge(coo, cfg)
+    b = np.ones((k, n), np.float32)
+    b[0, :] = np.inf
+    plan = SpmmPlan(packed, n, backend="edge_interpret")
+    got = np.asarray(plan(jnp.asarray(b), 1.0, 0.0, None))
+    assert not np.isfinite(got).all()  # the documented leak
