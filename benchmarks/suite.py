@@ -34,16 +34,19 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _pack_for(coo, cfg, fmt, reorder_cols):
+def _pack_for(coo, cfg, fmt, reorder_cols, reorder_rows=False):
     from sextans_tpu.format.pack import pack
     from sextans_tpu.format.pack_edge import pack_edge
     from sextans_tpu.format.pack_mxu import pack_mxu
 
     if fmt == "mxu":
-        return pack_mxu(coo, cfg, reorder_cols=reorder_cols)
+        return pack_mxu(coo, cfg, reorder_cols=reorder_cols,
+                        reorder_rows_=reorder_rows)
     if fmt == "edge":
-        return pack_edge(coo, cfg, reorder_cols=reorder_cols)
-    return pack(coo, cfg, reorder_cols=reorder_cols)
+        return pack_edge(coo, cfg, reorder_cols=reorder_cols,
+                         reorder_rows_=reorder_rows)
+    return pack(coo, cfg, reorder_cols=reorder_cols,
+                reorder_rows_=reorder_rows)
 
 
 def _gen_cached(name, gen):
@@ -233,6 +236,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     b_dev = jnp.asarray(b)
     c_dev = jnp.asarray(c)
 
+    ro = (reorder_cols, False)  # winner's (reorder_cols, reorder_rows)
     t0 = time.perf_counter()
     if split is not None:
         from sextans_tpu.ops.hybrid import HybridSpmmPlan
@@ -265,17 +269,26 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         # can also die deterministically at first compile. Race the top
         # analytic candidates across kernel families with a short measured
         # timing and keep the fastest runnable one.
+        base_ro = (reorder_cols, False)
         if stored is not None or not use_autotune:
-            cands = [(cfg, fmt)]
+            stored_ro = base_ro
+            if stored is not None and store is not None:
+                meta0 = store.meta(key) or {}
+                if meta0.get("reorder2d"):
+                    stored_ro = (True, True)
+            cands = [(cfg, fmt, stored_ro)]
         else:
             from sextans_tpu.utils.autotune import choose_backend as _cb3
 
-            cands = [(r.config, r.fmt) for r in _cb3(coo_for_tuning, n=n, top=3)]
-            if (cfg, fmt) != cands[0]:
-                cands.insert(0, (cfg, fmt))
+            cands = [
+                (r.config, r.fmt, base_ro)
+                for r in _cb3(coo_for_tuning, n=n, top=3)
+            ]
+            if (cfg, fmt) != (cands[0][0], cands[0][1]):
+                cands.insert(0, (cfg, fmt, base_ro))
             # ensure family diversity: add the best candidate of any family
             # missing from the model's top picks
-            fams = {f for _, f in cands}
+            fams = {f for _, f, _ in cands}
             from sextans_tpu.utils.autotune import (
                 choose_config,
                 choose_config_edge,
@@ -293,14 +306,33 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                     # racing a family the model puts >5x off the best is
                     # wasted device time even when the model is rough
                     if extra_c and extra_c[0].predicted_cost < 5 * best_pred:
-                        cands.append((extra_c[0].config, fam))
+                        cands.append((extra_c[0].config, fam, base_ro))
+            # hub-heavy matrices: add 2-D degree-reordered blocked candidates
+            # (the round-3 lever — the hub core clusters into dense blocks;
+            # only a measured race can tell whether it beats edge/hybrid)
+            cdeg = np.bincount(coo.cols, minlength=coo.shape[1])
+            hub_mass = np.sort(cdeg)[::-1][:2048].sum() / max(coo.nnz, 1)
+            if hub_mass >= 0.3 and coo.nnz <= 8_000_000:
+                from sextans_tpu.format.pack import reorder_columns as _rc
+                from sextans_tpu.format.pack import reorder_rows as _rr
+
+                coo2d, _ = _rc(coo)
+                coo2d, _ = _rr(coo2d)
+                for fam, chooser in (
+                    ("vpu", choose_config), ("mxu", choose_config_mxu),
+                ):
+                    c2 = chooser(coo2d, n=n, top=1)
+                    if c2:
+                        cands.append((c2[0].config, fam, (True, True)))
+                log(f"  2d-reorder candidates added (hub mass {hub_mass:.0%})")
         # huge matrices: packing each race candidate costs minutes and
         # gigabytes — take the first runnable candidate instead of racing
         do_race = len(cands) > 1 and coo.nnz <= 8_000_000
         last_err = None
         plan = None
         best_secs = None
-        for cfg_i, fmt_i in cands:
+        ro = base_ro
+        for cfg_i, fmt_i, ro_i in cands:
             if fmt_i in ("mxu", "edge") and backend in (
                 "xla", "pallas", "pallas_interpret"
             ):
@@ -308,10 +340,12 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             try:
                 if pack_cache is not None:
                     packed_i = pack_cache.get_or_pack(
-                        name, coo, cfg_i, fmt_i, reorder_cols
+                        name, coo, cfg_i, fmt_i, ro_i[0],
+                        reorder_rows=ro_i[1],
                     )
                 else:
-                    packed_i = _pack_for(coo, cfg_i, fmt_i, reorder_cols)
+                    packed_i = _pack_for(coo, cfg_i, fmt_i, ro_i[0],
+                                         reorder_rows=ro_i[1])
                 plan_i = SpmmPlan(
                     packed_i, n,
                     backend=backend if backend not in ("mxu", "edge") else "auto",
@@ -342,7 +376,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                     secs_i = 0.0
                 if best_secs is None or secs_i < best_secs:
                     plan, packed, best_secs = plan_i, packed_i, secs_i
-                    cfg, fmt = cfg_i, fmt_i
+                    cfg, fmt, ro = cfg_i, fmt_i, ro_i
                 if not do_race:
                     break
             except Exception as e:  # deterministic compile rejection → next
@@ -369,6 +403,8 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         "a_bytes_per_nnz": round(packed.stats.bytes_per_nnz, 1),
         "pack_s": round(t_pack, 3),
     }
+    if split is None and (ro[0] or ro[1]):
+        rec["reorder"] = "2d" if ro[1] else "cols"
     if split is not None:
         rec["hybrid"] = {
             "diags": int(split.diag_offsets.size),
@@ -480,7 +516,8 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     rec["gflops"] = round(gflops(coo.nnz, m, n, secs), 2)
     if store is not None and stored is None:
         store.put(key, cfg, fmt=fmt, gflops=rec["gflops"],
-                  backend=rec["backend"])
+                  backend=rec["backend"],
+                  reorder2d=bool(split is None and ro[1]))
     return rec
 
 

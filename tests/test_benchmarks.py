@@ -49,3 +49,39 @@ def test_run_one_tiny():
     assert rec["verify"] == "pass"
     assert rec["gflops"] > 0
     assert rec["block_fill"] > 0
+
+
+def test_race_includes_2d_reorder_candidates(monkeypatch):
+    """Hub-heavy matrices add 2-D reordered blocked candidates to the
+    measured race (round-3 scattered-class lever)."""
+    import io
+    import contextlib
+
+    import numpy as np
+
+    from benchmarks import suite as suite_mod
+    from sextans_tpu.format.coo import COOMatrix
+
+    rng = np.random.default_rng(0)
+    m = 512
+    pop = rng.zipf(1.6, size=m).astype(np.float64)
+    pop /= pop.sum()
+    rows = rng.integers(0, m, 4000).astype(np.int32)
+    cols = rng.choice(m, 4000, p=pop).astype(np.int32)
+    lin = rows.astype(np.int64) * m + cols
+    _, keep = np.unique(lin, return_index=True)
+    coo = COOMatrix((m, m), rows[keep], cols[keep],
+                    np.ones(keep.size, np.float32))
+
+    # neutralize the expensive timing: every candidate 'measures' instantly
+    import sextans_tpu.utils.timing as timing_mod
+
+    monkeypatch.setattr(timing_mod, "time_repeat",
+                        lambda plan, b, a, be, c, times=1: 1e-3)
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rec = suite_mod.run_one(
+            "hubtest", coo, 16, "xla", True, verify_gate=True, hybrid="off",
+        )
+    assert rec["verify"] == "pass"
+    assert "2d-reorder candidates added" in err.getvalue()
