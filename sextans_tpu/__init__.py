@@ -18,7 +18,15 @@ See SURVEY.md for the reference layer map this framework re-implements.
 
 from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.format.csr import CSCMatrix, CSRMatrix
-from sextans_tpu.format.pack import PackedSpMatrix, PackStats, pack
+from sextans_tpu.format.pack import (
+    PackedSpMatrix,
+    PackStats,
+    pack,
+    reorder_columns,
+    reorder_rows,
+)
+from sextans_tpu.format.pack_cache import PackCache
+from sextans_tpu.format.slots import slot_map
 from sextans_tpu.format.pack_edge import PackedSpMatrixEdge, pack_edge
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU, pack_mxu
 from sextans_tpu.io.mtx import MtxHeader, read_mtx, read_mtx_coo, write_mtx
@@ -53,6 +61,10 @@ __all__ = [
     "read_mtx_coo",
     "write_mtx",
     "pack",
+    "PackCache",
+    "reorder_columns",
+    "reorder_rows",
+    "slot_map",
     "pack_mxu",
     "pack_edge",
     "PackedSpMatrixEdge",
