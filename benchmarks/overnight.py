@@ -99,6 +99,9 @@ def main(argv=None):
                          "persist; later passes skip re-racing)")
     ap.add_argument("--extra", nargs="*", default=[],
                     help="extra args forwarded to suite.py")
+    ap.add_argument("--stall-minutes", type=float, default=45.0,
+                    help="kill a pass whose incremental output file stops "
+                         "advancing for this long (wedged device call)")
     args = ap.parse_args(argv)
 
     pass_dir = Path(args.pass_dir)
@@ -122,15 +125,45 @@ def main(argv=None):
             *args.extra,
         ]
         log(f"pass {i}: {' '.join(cmd)}")
-        # the suite exits cleanly at --deadline-ts between rows; the
-        # subprocess timeout is only a generous backstop (a hard kill
-        # mid-dispatch can wedge the TPU relay)
+        # The suite exits cleanly at --deadline-ts between rows; on top of
+        # the generous overall backstop, a STALL watchdog kills the pass if
+        # the incremental --out file stops advancing for ``stall`` seconds —
+        # a single wedged device call (hung upload/compile on the flaky
+        # relay, observed round 3: 1 h silent on one row) must not eat the
+        # whole budget. Big-matrix rows legitimately take ~25 min, so the
+        # threshold sits well above that.
         budget = max(60, int(deadline - time.time())) + 2400
-        try:
-            subprocess.run(cmd, timeout=budget,
-                           stdout=subprocess.DEVNULL)
-        except subprocess.TimeoutExpired:
-            log(f"pass {i} hit the backstop timeout; merging what exists")
+        stall = args.stall_minutes * 60
+        t_start = time.time()
+        proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL)
+        last_progress = time.time()
+        last_mtime = 0.0
+        while proc.poll() is None:
+            time.sleep(15)
+            try:
+                mtime = out.stat().st_mtime
+            except OSError:
+                mtime = 0.0
+            if mtime > last_mtime:
+                last_mtime = mtime
+                last_progress = time.time()
+            if time.time() - last_progress > stall:
+                log(f"pass {i}: no row progress for {stall/60:.0f} min; "
+                    "killing the stalled pass")
+                proc.terminate()
+                try:
+                    proc.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                break
+            if time.time() - t_start > budget:
+                log(f"pass {i} hit the backstop timeout; merging what exists")
+                proc.terminate()
+                try:
+                    proc.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                break
         merge(sorted(pass_dir.glob("pass_*.json")), args.out)
     log("done")
     return 0
