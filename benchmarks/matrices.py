@@ -249,12 +249,21 @@ def suite(scale: str = "small") -> dict:
         out["webbase1M_like"] = lambda: powerlaw_like(
             1000005, avg_degree=3, seed=19
         )
-        # Deadline-bounded runners process dict order: put the expensive
-        # headline matrices right after the nasa4704 canary reference so a
-        # truncated pass still covers them.
+        # Deadline-bounded runners process dict order. Round-3 priority:
+        # COVERAGE first — the cheap never-measured classes right after the
+        # nasa4704 reference, then the medium/large never-measured ones,
+        # then the big headliners, with the already-covered FEM classes
+        # last (they have canonical rows from earlier passes; the merge
+        # keeps the best healthy sample either way).
         priority = [
-            "nasa4704", "ldoor_like", "nlpkkt80_like", "webbase1M_like",
+            "nasa4704",
+            # small, never measured (minutes each)
+            "scircuit_like", "mac_econ_like", "rma10_like", "laplace3d_64",
+            "dense2k", "mc2depi_like", "cop20k_like",
+            # medium, never measured
             "webgraph_like", "pwtk_like", "amazon_like", "roadnet_like",
+            # big headliners
+            "ldoor_like", "nlpkkt80_like", "webbase1M_like",
         ]
         out = {
             **{k: out[k] for k in priority if k in out},
