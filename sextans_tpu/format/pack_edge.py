@@ -189,6 +189,7 @@ def pack_edge(
     config: SpmmConfig,
     reorder_cols: bool = False,
     reorder_rows_: bool = False,
+    impl: str = "auto",
 ) -> PackedSpMatrixEdge:
     """Pack a COO matrix into the edge-stream format.
 
@@ -219,6 +220,36 @@ def pack_edge(
     n_mtiles = max(1, cdiv(m, tm))
     n_kwins = max(1, cdiv(k, wk))
     nnz = coo.nnz
+
+    if impl == "auto":
+        from sextans_tpu.runtime import native
+
+        impl = "native" if nnz > 0 and native.available_edge() else "numpy"
+    if impl == "native":
+        from sextans_tpu.runtime.native import pack_edge_native
+
+        vals_p, meta, chunk_mtile, chunk_kwin, (nchunks, njobs, nempty) = (
+            pack_edge_native(coo.rows, coo.cols, coo.vals, m, k, config)
+        )
+        stats = PackStats(
+            nnz=nnz,
+            blocks=nnz,
+            slots=nchunks * E,
+            groups=nchunks,
+            pad_blocks=nchunks * E - nnz,
+            jobs=njobs,
+            empty_mtiles=nempty,
+            a_bytes=8 * nchunks * E,
+        )
+        return PackedSpMatrixEdge(
+            m=m, k=k, nnz=nnz, config=config,
+            n_mtiles=n_mtiles, n_kwins=n_kwins,
+            vals=vals_p, meta=meta,
+            chunk_mtile=chunk_mtile, chunk_kwin=chunk_kwin,
+            stats=stats, col_perm=col_perm, row_perm=row_perm,
+        )
+    if impl != "numpy":
+        raise ValueError(f"unknown pack impl {impl!r}")
 
     if nnz == 0:
         stats = PackStats(

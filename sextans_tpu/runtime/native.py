@@ -63,6 +63,26 @@ def _try_load() -> Optional[ctypes.CDLL]:
     lib.sx_pack_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 8
     lib.sx_pack_free.restype = None
     lib.sx_pack_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "sx_pack_plan_edge"):
+        lib.sx_pack_plan_edge.restype = ctypes.c_void_p
+        lib.sx_pack_plan_edge.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        for fn in ("sx_edge_nchunks", "sx_edge_njobs", "sx_edge_nempty"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.sx_pack_fill_edge.restype = None
+        lib.sx_pack_fill_edge.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
+        lib.sx_pack_free_edge.restype = None
+        lib.sx_pack_free_edge.argtypes = [ctypes.c_void_p]
     if hasattr(lib, "sx_pack_plan_mxu"):
         lib.sx_pack_plan_mxu.restype = ctypes.c_void_p
         lib.sx_pack_plan_mxu.argtypes = [
@@ -199,3 +219,60 @@ def pack_native(rows, cols, vals, m, k, config):
         return vp, qrow, bcol, group_mtile, group_kwin, (nb, njobs, nempty)
     finally:
         lib.sx_pack_free(h)
+
+
+def available_edge() -> bool:
+    lib = _try_load()
+    return lib is not None and hasattr(lib, "sx_pack_plan_edge")
+
+
+def pack_edge_native(rows, cols, vals, m, k, config):
+    """Native edge-stream pack. Returns
+    (vals_packed, meta, chunk_mtile, chunk_kwin, (nchunks, njobs, nempty)) —
+    bit-identical to the NumPy pack_edge arrays."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "sx_pack_plan_edge"):
+        raise RuntimeError("native edge pack unavailable")
+
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    nnz = rows.shape[0]
+
+    h = lib.sx_pack_plan_edge(
+        nnz,
+        rows.ctypes.data,
+        cols.ctypes.data,
+        m,
+        k,
+        config.tile_m,
+        config.window_k,
+        config.edge_chunk,
+        config.edge_lanes,
+    )
+    if not h:
+        raise RuntimeError("sx_pack_plan_edge rejected parameters")
+    try:
+        n_total = lib.sx_edge_nchunks(h)
+        njobs = lib.sx_edge_njobs(h)
+        nempty = lib.sx_edge_nempty(h)
+        E = config.edge_chunk
+
+        vp = np.zeros((n_total, 1, E), dtype=np.float32)
+        meta = np.zeros((n_total, 1, E), dtype=np.int32)
+        chunk_mtile = np.zeros(n_total + 1, dtype=np.int32)
+        chunk_kwin = np.zeros(n_total, dtype=np.int32)
+
+        lib.sx_pack_fill_edge(
+            h,
+            rows.ctypes.data,
+            cols.ctypes.data,
+            vals.ctypes.data,
+            vp.ctypes.data,
+            meta.ctypes.data,
+            chunk_mtile.ctypes.data,
+            chunk_kwin.ctypes.data,
+        )
+        return vp, meta, chunk_mtile, chunk_kwin, (n_total, njobs, nempty)
+    finally:
+        lib.sx_pack_free_edge(h)

@@ -335,3 +335,227 @@ void sx_pack_fill_mxu(void* h, const int32_t* rows, const int32_t* cols,
 void sx_pack_free(void* h) { delete static_cast<Plan*>(h); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Edge-stream pack (format/pack_edge.py twin): one record per nonzero,
+// CSR-sorted within (M-tile, K-window) jobs, row runs padded to edge_lanes
+// multiples, jobs padded to edge_chunk multiples. Bit-identical arrays to
+// the NumPy pack_edge (tests/test_native_edge.py).
+
+namespace {
+
+struct EdgePlan {
+  int64_t nnz = 0;
+  int32_t tile_m = 0, window_k = 0, E = 0, L = 0;
+  int64_t n_mtiles = 0, n_kwins = 0;
+  std::vector<int64_t> order;   // edges sorted by (mt, kw, row, col), stable
+  std::vector<int64_t> dst;     // flat slot per sorted edge
+  std::vector<uint8_t> real_end;  // row_end flag per sorted edge
+  int64_t n_chunks = 0;           // real chunks (before empty-mtile pads)
+  int64_t n_jobs = 0;
+  std::vector<int32_t> chunk_mt, chunk_kw;  // per real chunk
+  std::vector<int32_t> missing_mtiles;
+  // pad slots (run padding): flat slot, row_local, is_final
+  std::vector<int64_t> pad_dst;
+  std::vector<int32_t> pad_row;
+  std::vector<uint8_t> pad_final;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* sx_pack_plan_edge(int64_t nnz, const int32_t* rows, const int32_t* cols,
+                        int64_t m, int64_t k, int32_t tile_m, int32_t window_k,
+                        int32_t edge_chunk, int32_t edge_lanes) {
+  if (tile_m <= 0 || window_k <= 0 || edge_chunk <= 0 || edge_lanes <= 0 ||
+      edge_chunk % edge_lanes != 0 || tile_m > (1 << 14) ||
+      window_k > (1 << 15))
+    return nullptr;
+  EdgePlan* p = new EdgePlan();
+  p->nnz = nnz;
+  p->tile_m = tile_m;
+  p->window_k = window_k;
+  p->E = edge_chunk;
+  p->L = edge_lanes;
+  p->n_mtiles = std::max<int64_t>(1, (m + tile_m - 1) / tile_m);
+  p->n_kwins = std::max<int64_t>(1, (k + window_k - 1) / window_k);
+
+  // sort by (mt, kw, row_local, col_local) == (mt, kw, row, col)
+  p->order.resize(nnz);
+  std::vector<uint64_t> key(nnz);
+  uint64_t max_key = 0;
+  const uint64_t tmwk = static_cast<uint64_t>(tile_m) * window_k;
+  for (int64_t i = 0; i < nnz; ++i) {
+    const uint64_t mt = static_cast<uint64_t>(rows[i]) / tile_m;
+    const uint64_t kw = static_cast<uint64_t>(cols[i]) / window_k;
+    const uint64_t rl = static_cast<uint64_t>(rows[i]) % tile_m;
+    const uint64_t cl = static_cast<uint64_t>(cols[i]) % window_k;
+    key[i] = ((mt * p->n_kwins + kw) * tile_m + rl) * window_k + cl;
+    if (key[i] > max_key) max_key = key[i];
+    p->order[i] = i;
+  }
+  if (nnz >= (int64_t{1} << 20)) {
+    radix_sort_by_key(p->order, key, max_key);
+  } else {
+    std::stable_sort(p->order.begin(), p->order.end(),
+                     [&key](int64_t a, int64_t b) { return key[a] < key[b]; });
+  }
+
+  // runs and jobs over the sorted stream; assign destinations in one pass
+  const int64_t E = p->E, L = p->L;
+  const uint64_t job_div = tmwk;  // key / job_div = job id, and
+                                  // (key / window_k) identifies (job, row)
+  int64_t chunk_base = 0;   // first chunk of the current job
+  int64_t off_in_job = 0;   // padded offset inside the current job
+  uint64_t cur_job = ~uint64_t{0};
+  uint64_t cur_rowkey = ~uint64_t{0};
+  int64_t run_len = 0;      // edges so far in the current run
+  int32_t run_row = 0;
+  p->dst.resize(nnz);
+  p->real_end.assign(nnz, 0);
+  if (nnz > 0) p->n_jobs = 0;
+
+  auto close_run = [&](int64_t sorted_end_idx) {
+    // pad the finished run to a multiple of L; mark real_end on its last
+    // edge iff no padding was needed
+    if (run_len == 0) return;
+    const int64_t padded = ((run_len + L - 1) / L) * L;
+    const int64_t npad = padded - run_len;
+    if (npad == 0) {
+      p->real_end[sorted_end_idx - 1] = 1;
+    } else {
+      for (int64_t t = 0; t < npad; ++t) {
+        p->pad_dst.push_back(chunk_base * E + off_in_job + run_len + t);
+        p->pad_row.push_back(run_row);
+        p->pad_final.push_back(t == npad - 1 ? 1 : 0);
+      }
+    }
+    off_in_job += padded;
+    run_len = 0;
+  };
+  auto close_job = [&]() {
+    const int64_t jchunks = (off_in_job + E - 1) / E;
+    chunk_base += jchunks;
+    off_in_job = 0;
+  };
+
+  for (int64_t i = 0; i < nnz; ++i) {
+    const uint64_t kk = key[p->order[i]];
+    const uint64_t job = kk / job_div;
+    const uint64_t rowkey = kk / window_k;  // (job, row_local)
+    if (job != cur_job) {
+      close_run(i);
+      if (cur_job != ~uint64_t{0}) close_job();
+      cur_job = job;
+      cur_rowkey = ~uint64_t{0};
+      ++p->n_jobs;
+      // record the job -> chunk steering lazily per chunk below
+    }
+    if (rowkey != cur_rowkey) {
+      close_run(i);
+      cur_rowkey = rowkey;
+      run_row = static_cast<int32_t>((kk / window_k) % tile_m);
+    }
+    p->dst[i] = chunk_base * E + off_in_job + run_len;
+    ++run_len;
+  }
+  close_run(nnz);
+  if (cur_job != ~uint64_t{0}) close_job();
+  p->n_chunks = chunk_base;
+
+  // chunk steering: replay job boundaries (second cheap pass over blocks)
+  p->chunk_mt.resize(p->n_chunks);
+  p->chunk_kw.resize(p->n_chunks);
+  {
+    int64_t cb = 0, oij = 0, rl2 = 0;
+    uint64_t cj = ~uint64_t{0}, crk = ~uint64_t{0};
+    auto flush_job = [&](uint64_t job) {
+      const int64_t jchunks = (oij + E - 1) / E;
+      const int32_t mt = static_cast<int32_t>(job / p->n_kwins);
+      const int32_t kw = static_cast<int32_t>(job % p->n_kwins);
+      for (int64_t c = 0; c < jchunks; ++c) {
+        p->chunk_mt[cb + c] = mt;
+        p->chunk_kw[cb + c] = kw;
+      }
+      cb += jchunks;
+      oij = 0;
+    };
+    for (int64_t i = 0; i < nnz; ++i) {
+      const uint64_t kk = key[p->order[i]];
+      const uint64_t job = kk / job_div;
+      const uint64_t rowkey = kk / window_k;
+      if (job != cj) {
+        if (rl2) { oij += ((rl2 + L - 1) / L) * L; rl2 = 0; }
+        if (cj != ~uint64_t{0}) flush_job(cj);
+        cj = job;
+        crk = ~uint64_t{0};
+      }
+      if (rowkey != crk) {
+        if (rl2) { oij += ((rl2 + L - 1) / L) * L; rl2 = 0; }
+        crk = rowkey;
+      }
+      ++rl2;
+    }
+    if (rl2) oij += ((rl2 + L - 1) / L) * L;
+    if (cj != ~uint64_t{0}) flush_job(cj);
+  }
+
+  // empty m-tiles get an all-padding epilogue chunk each
+  std::vector<char> present(p->n_mtiles, 0);
+  for (int64_t c = 0; c < p->n_chunks; ++c) present[p->chunk_mt[c]] = 1;
+  for (int64_t t = 0; t < p->n_mtiles; ++t)
+    if (!present[t]) p->missing_mtiles.push_back(static_cast<int32_t>(t));
+  return p;
+}
+
+int64_t sx_edge_nchunks(void* h) {
+  EdgePlan* p = static_cast<EdgePlan*>(h);
+  return p->n_chunks + static_cast<int64_t>(p->missing_mtiles.size());
+}
+int64_t sx_edge_njobs(void* h) { return static_cast<EdgePlan*>(h)->n_jobs; }
+int64_t sx_edge_nempty(void* h) {
+  return static_cast<int64_t>(static_cast<EdgePlan*>(h)->missing_mtiles.size());
+}
+
+// Phase 2: fill caller-allocated arrays.
+//   vals_out: (n_total, 1, E) float32, zero-initialized
+//   meta:     (n_total, 1, E) int32 (initialized here: pad bit everywhere)
+//   chunk_mtile: (n_total+1,) int32; chunk_kwin: (n_total,) int32, zeroed
+void sx_pack_fill_edge(void* h, const int32_t* rows, const int32_t* cols,
+                       const float* vals, float* vals_out, int32_t* meta,
+                       int32_t* chunk_mtile, int32_t* chunk_kwin) {
+  EdgePlan* p = static_cast<EdgePlan*>(h);
+  const int64_t E = p->E;
+  const int64_t n_total =
+      p->n_chunks + static_cast<int64_t>(p->missing_mtiles.size());
+  // every slot starts as padding (bit 0)
+  for (int64_t i = 0; i < n_total * E; ++i) meta[i] = 1;
+
+  for (int64_t i = 0; i < p->nnz; ++i) {
+    const int64_t e = p->order[i];
+    const int32_t rl = rows[e] % p->tile_m;
+    const int32_t cl = cols[e] % p->window_k;
+    meta[p->dst[i]] =
+        (rl << 17) | (cl << 2) | (p->real_end[i] ? 2 : 0);
+    vals_out[p->dst[i]] = vals[e];
+  }
+  for (size_t i = 0; i < p->pad_dst.size(); ++i)
+    meta[p->pad_dst[i]] =
+        (p->pad_row[i] << 17) | (p->pad_final[i] ? 2 : 0) | 1;
+  // chunk-end forced flush — REAL chunks only (the NumPy pass sets
+  // flat_m[E-1::E] |= 2 before appending the empty-mtile epilogue chunks)
+  for (int64_t c = 0; c < p->n_chunks; ++c) meta[c * E + E - 1] |= 2;
+
+  for (int64_t c = 0; c < p->n_chunks; ++c) {
+    chunk_mtile[c] = p->chunk_mt[c];
+    chunk_kwin[c] = p->chunk_kw[c];
+  }
+  for (size_t i = 0; i < p->missing_mtiles.size(); ++i)
+    chunk_mtile[p->n_chunks + static_cast<int64_t>(i)] = p->missing_mtiles[i];
+  chunk_mtile[n_total] = -1;
+}
+
+void sx_pack_free_edge(void* h) { delete static_cast<EdgePlan*>(h); }
+
+}  // extern "C"
