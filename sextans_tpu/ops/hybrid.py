@@ -107,6 +107,19 @@ def _cost_based_degree(m_other: int, n: int, length: int) -> int:
     return max(4, int(dense_cycles / max(_residue_edge_cycles(n), 1e-9)))
 
 
+def _cost_based_diag(m: int, n: int) -> int:
+    """Marginal break-even count for lifting one DIAGONAL: the tiled DIA
+    kernel adds ~``2*M*n/2048`` VPU FMA cycles + an ``M*4``-byte dvals read
+    per diagonal (clustered offsets share the B window, so the window
+    traffic is not marginal). Circuit/stencil bands of many ~3%-dense
+    diagonals clear this easily where the old fixed 15% rule rejected
+    them (round-3: scircuit-class)."""
+    from sextans_tpu.utils.autotune import BYTES_PER_CYCLE
+
+    dia_cycles = 2.0 * m * n / 2048.0 + m * 4 / BYTES_PER_CYCLE
+    return max(4, int(dia_cycles / max(_residue_edge_cycles(n), 1e-9)))
+
+
 def split_structure(
     coo: COOMatrix,
     *,
@@ -150,7 +163,13 @@ def split_structure(
     d = cols - rows  # in [-(m-1), k-1]
     dmin = int(d.min(initial=0))
     counts = np.bincount((d - dmin).astype(np.int64))
-    thresh = max(1, int(diag_min_density * min(m, k)))
+    if n is not None:
+        thresh = _cost_based_diag(m, n)
+        # dvals is (D, m) dense: cap its footprint at ~1.5 GB
+        max_diags = min(max(max_diags, 256),
+                        max(8, int(1.5e9 / max(4 * m, 1))))
+    else:
+        thresh = max(1, int(diag_min_density * min(m, k)))
     cand = np.flatnonzero(counts >= thresh)
     order = np.argsort(-counts[cand], kind="stable")
     cand = cand[order[:max_diags]]

@@ -201,3 +201,27 @@ def test_cost_based_head_memory_cap():
     # >1000, so only true hubs lift
     assert _cost_based_degree(10**6, 512, length=10**6) > 1000
     assert _cost_based_degree(10**5, 512, length=10**5) < 200
+
+
+def test_cost_based_diag_lift_circuit_band():
+    """Round-3: a +-60 band of ~3%-dense diagonals (scircuit-class) lifts
+    fully under the cost-based rule — the tiled DIA kernel amortizes
+    clustered diagonals; the old 15% fixed rule left them to the blocked
+    kernels at ~2 GFLOPS."""
+    rng = np.random.default_rng(9)
+    m = 20000
+    diag = np.arange(m, dtype=np.int64)
+    lr = rng.integers(0, m, m * 4)
+    lc = np.clip(lr + rng.integers(-60, 61, m * 4), 0, m - 1)
+    rows = np.concatenate([diag, lr])
+    cols = np.concatenate([diag, lc])
+    lin = rows * m + cols
+    _, keep = np.unique(lin, return_index=True)
+    coo = COOMatrix((m, m), rows[keep].astype(np.int32),
+                    cols[keep].astype(np.int32),
+                    np.ones(keep.size, np.float32))
+    fixed = split_structure(coo)
+    adaptive = split_structure(coo, n=512)
+    assert fixed.diag_offsets.size <= 2  # only the main diagonal qualifies
+    assert adaptive.diag_offsets.size > 100  # the whole band lifts
+    assert adaptive.residue.nnz < 0.05 * coo.nnz
