@@ -181,8 +181,23 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     # formats handle worst. Engage only when the MODELED hybrid cost beats
     # the best blocked-format cost (a blanket coverage rule mis-fires on
     # banded FEM, where diagonals are dense but the block kernels are
-    # already near their floor). Stored configs are never overridden.
-    if fmt == "hybrid" or (
+    # already near their floor). Stored non-hybrid winners CAN be
+    # challenged: the store freezes first-pass results, and the hybrid
+    # machinery improves between passes (round-3: cost-based DIA lift),
+    # so when the CURRENT model predicts >=2x the stored measured GFLOPS
+    # the gate re-opens and the measured row decides.
+    stored_gf = None
+    if stored is not None and store is not None:
+        stored_gf = (store.meta(key) or {}).get("gflops")
+    challenge = (
+        hybrid == "auto"
+        and use_autotune
+        and stored is not None
+        and fmt != "hybrid"
+        and stored_gf
+        and coo.nnz <= 20_000_000
+    )
+    if fmt == "hybrid" or challenge or (
         hybrid == "auto" and use_autotune and stored is None
     ):
         from sextans_tpu.ops.hybrid import split_structure
@@ -220,6 +235,17 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         )
         if fmt == "hybrid":
             split = cand
+        elif challenge:
+            if cand is not None and dense_cover >= 0.3:
+                h_cost = hybrid_cost(cand, n=n)
+                h_gf = (
+                    2.0 * n * (coo.nnz + m) / (h_cost / 0.94e9) / 1e9
+                )
+                if h_gf >= 2.0 * stored_gf:
+                    split = cand
+                    stored = None  # re-decide; winner may overwrite store
+                    log(f"  store challenge: hybrid model {h_gf:.0f} GF vs "
+                        f"stored {stored_gf:.0f} GF -> re-racing hybrid")
         elif dense_cover >= 0.3 and coo.nnz >= 50_000:
             full_cost = _cb(coo_for_tuning, n=n)[0].predicted_cost
             h_cost = hybrid_cost(cand, n=n)
@@ -514,7 +540,11 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     rec["rp_time"] = times
     rec["ms"] = round(secs * 1e3, 3)
     rec["gflops"] = round(gflops(coo.nnz, m, n, secs), 2)
-    if store is not None and stored is None:
+    if store is not None and stored is None and (
+        stored_gf is None or rec["gflops"] > stored_gf
+    ):
+        # a challenged row only overwrites the store when it measured
+        # strictly better than the stored winner
         store.put(key, cfg, fmt=fmt, gflops=rec["gflops"],
                   backend=rec["backend"],
                   reorder2d=bool(split is None and ro[1]))

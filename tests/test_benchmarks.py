@@ -85,3 +85,49 @@ def test_race_includes_2d_reorder_candidates(monkeypatch):
         )
     assert rec["verify"] == "pass"
     assert "2d-reorder candidates added" in err.getvalue()
+
+
+def test_store_challenge_reopens_hybrid_gate(tmp_path, monkeypatch):
+    """A stored first-pass winner is challenged when the current hybrid
+    model predicts >=2x its measured GFLOPS (round-3: improved DIA lift
+    must not be frozen out by earlier passes)."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from benchmarks import suite as suite_mod
+    from sextans_tpu.format.coo import COOMatrix
+    from sextans_tpu.utils.autotune import ConfigStore
+    from sextans_tpu.utils.config import SpmmConfig
+
+    # circuit-band matrix: near-total DIA cover under the cost-based lift
+    rng = np.random.default_rng(2)
+    m = 60000
+    diag = np.arange(m, dtype=np.int64)
+    lr = rng.integers(0, m, m * 4)
+    lc = np.clip(lr + rng.integers(-40, 41, m * 4), 0, m - 1)
+    rows = np.concatenate([diag, lr])
+    cols = np.concatenate([diag, lc])
+    lin = rows * m + cols
+    _, keep = np.unique(lin, return_index=True)
+    coo = COOMatrix((m, m), rows[keep].astype(np.int32),
+                    cols[keep].astype(np.int32),
+                    np.ones(keep.size, np.float32))
+
+    store = ConfigStore(tmp_path / "tuned.json")
+    # a frozen slow blocked winner (the round-3 scircuit situation)
+    store.put("hubchal|n=16", SpmmConfig(), fmt="vpu", gflops=2.0)
+
+    import sextans_tpu.utils.timing as timing_mod
+
+    monkeypatch.setattr(timing_mod, "time_repeat",
+                        lambda plan, b, a, be, c, times=1: 1e-3)
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rec = suite_mod.run_one(
+            "hubchal", coo, 16, "xla", True, verify_gate=True, store=store,
+        )
+    assert "store challenge" in err.getvalue()
+    assert rec["fmt"].startswith("hybrid")
+    assert rec["verify"] == "pass"
