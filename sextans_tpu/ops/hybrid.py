@@ -352,6 +352,12 @@ class HybridSpmmPlan:
 
         dia_tile_m = 512
         dia_tile_n = min(512, _round_up(max(n, 1), 128))
+        # Skinny-N: the C-transposed DIA kernel runs M on the 128-lane axis
+        # so the VPU is full-width at any N (the standard layout pads N to
+        # 128 lanes — an 8x FLOP waste at N=16; measured 5.8 ms on
+        # scircuit-class where the memory bound is ~0.7 ms).
+        use_dia_ct = n <= 32
+        n_ct_dia = _round_up(max(n, 1), 8)
         if self.has_diag and dia_backend in ("pallas", "pallas_interpret"):
             from sextans_tpu.ops.spmm_dia_pallas import cluster_offsets
 
@@ -366,9 +372,14 @@ class HybridSpmmPlan:
             ):
                 dia_tile_n //= 2
             m_pad_dia = _round_up(m, dia_tile_m)
-            dvt = np.zeros((m_pad_dia, len(offsets)), dtype=np.float32)
-            dvt[:m] = split.diag_vals.T
-            self._dev["dvt"] = jnp.asarray(dvt)
+            if use_dia_ct:
+                dvc = np.zeros((len(offsets), m_pad_dia), dtype=np.float32)
+                dvc[:, :m] = split.diag_vals
+                self._dev["dvt"] = jnp.asarray(dvc)
+            else:
+                dvt = np.zeros((m_pad_dia, len(offsets)), dtype=np.float32)
+                dvt[:m] = split.diag_vals.T
+                self._dev["dvt"] = jnp.asarray(dvt)
         self._dia_shapes = (dia_tile_m, dia_tile_n)
         has_diag, has_head = self.has_diag, self.has_head
         has_hrows = self.has_hrows
@@ -429,7 +440,27 @@ class HybridSpmmPlan:
         def dense_parts(dense_args, b, c, alpha, beta):
             """beta*C + alpha*(diagonal + head contributions)."""
             args = list(dense_args)
-            if use_dia_kernel:
+            if use_dia_kernel and use_dia_ct:
+                from sextans_tpu.ops.spmm_dia_pallas import spmm_dia_ct_padded
+
+                dvc = args.pop(0)
+                n_cols = b.shape[1]
+                bt = jnp.pad(
+                    jnp.transpose(b),
+                    ((0, n_ct_dia - n_cols), (pad_lo, 0)),
+                )
+                ct = jnp.pad(
+                    jnp.transpose(c),
+                    ((0, n_ct_dia - n_cols), (0, m_pad_dia - m)),
+                )
+                acc_t = spmm_dia_ct_padded(
+                    dvc, bt, ct, alpha, beta,
+                    offsets=tuple(offsets),
+                    tile_m=dia_tile_m,
+                    interpret=dia_interp,
+                )
+                acc = jnp.transpose(acc_t)[:m, :n_cols]
+            elif use_dia_kernel:
                 from sextans_tpu.ops.spmm_dia_pallas import spmm_dia_padded
 
                 dvt = args.pop(0)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["spmm_dia_padded", "cluster_offsets"]
+__all__ = ["spmm_dia_padded", "spmm_dia_ct_padded", "cluster_offsets"]
 
 
 def cluster_offsets(
@@ -200,6 +200,146 @@ def spmm_dia_padded(
             # raise the default 16 MiB scoped-VMEM cap: v5e has far more
             # physical VMEM, and large-tile configs (the B-restream lever
             # for big matrices) need it
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*operands)
+
+
+def _kernel_ct(
+    dv_ref,  # (D, tile_m) f32 — diagonal values, row per diagonal
+    *rest,
+    clusters,  # static: tuple of (diag_index, r0, local block index)
+    n_bblocks: int,
+    with_c: bool,
+):
+    b_refs = rest[:n_bblocks]
+    if with_c:
+        cin_ref, ab_ref, out_ref = rest[n_bblocks:]
+    else:
+        ab_ref, out_ref = rest[n_bblocks:]
+        cin_ref = None
+    alpha = ab_ref[0, 0]
+
+    acc = None
+    for dj, r0, blk in clusters:
+        dv = dv_ref[dj : dj + 1, :]  # (1, T) lane row, sublane-broadcast
+        if r0 == 0:
+            cols = b_refs[blk][:, :]
+        else:
+            # diagonal straddles two consecutive B^T blocks: static LANE
+            # split (the CT twin of the sublane split above)
+            cols = jnp.concatenate(
+                [b_refs[blk][:, r0:], b_refs[blk + 1][:, :r0]], axis=1
+            )
+        term = dv * cols
+        acc = term if acc is None else acc + term
+    total = alpha * acc
+    if with_c:
+        total = total + ab_ref[0, 1] * cin_ref[:, :]
+    out_ref[:, :] = total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "tile_m", "interpret", "with_c"),
+)
+def spmm_dia_ct_padded(
+    dvals: jax.Array,  # (D, m_padded) f32 — diagonal values, row-major
+    bt_padded: jax.Array,  # (n_ct, k_b_padded) f32 — B^T, pre-shifted cols
+    ct_padded: jax.Array,  # (n_ct, m_padded) f32 — C^T
+    alpha: jax.Array,
+    beta: jax.Array,
+    *,
+    offsets: Tuple[int, ...],
+    tile_m: int,
+    interpret: bool = False,
+    with_c: bool = True,
+) -> jax.Array:
+    """Skinny-N diagonal SpMM on TRANSPOSED operands: M rides the 128-lane
+    axis, so the VPU runs full-width at any N (the standard kernel pads N
+    up to 128 lanes — an 8x FLOP waste at N=16, measured 5.8 ms on
+    scircuit-class vs its memory bound). ``bt_padded`` carries
+    ``pad_lo = max(0, -min(offsets))`` zero COLUMNS on the left."""
+    n_ct, m_padded = ct_padded.shape
+    D = dvals.shape[0]
+    assert m_padded % tile_m == 0
+    pad_lo = max(0, -min(offsets))
+
+    clus = cluster_offsets(offsets, tile_m)
+    off_index = {off: j for j, off in enumerate(offsets)}
+    b_block_ids = []
+    kernel_clusters = []
+    for cl in clus:
+        base = cl[0] + pad_lo
+        base_blk = base // tile_m
+        local0 = len(b_block_ids)
+        span_blocks = (cl[-1] + pad_lo - base_blk * tile_m) // tile_m + 2
+        b_block_ids.extend(base_blk + d for d in range(span_blocks))
+        for off in cl:
+            lo = off + pad_lo - base_blk * tile_m
+            kernel_clusters.append(
+                (off_index[off], lo % tile_m, local0 + lo // tile_m)
+            )
+
+    n_bblocks = len(b_block_ids)
+    need_cols = (max(b_block_ids) + 1 + m_padded // tile_m - 1) * tile_m
+    if bt_padded.shape[1] < need_cols:
+        bt_padded = jnp.pad(
+            bt_padded, ((0, 0), (0, need_cols - bt_padded.shape[1]))
+        )
+
+    grid = (m_padded // tile_m,)
+
+    in_specs = [
+        pl.BlockSpec((D, tile_m), lambda i: (0, i)),  # dvals
+    ]
+    for bid in b_block_ids:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_ct, tile_m),
+                functools.partial(lambda i, _b=bid: (0, i + _b)),
+            )
+        )
+    if with_c:
+        in_specs.append(pl.BlockSpec((n_ct, tile_m), lambda i: (0, i)))
+    in_specs.append(
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    )
+
+    ab = jnp.stack([alpha, beta]).astype(jnp.float32).reshape(1, 2)
+
+    kernel = functools.partial(
+        _kernel_ct,
+        clusters=tuple(kernel_clusters),
+        n_bblocks=n_bblocks,
+        with_c=with_c,
+    )
+
+    cost = pl.CostEstimate(
+        flops=2 * D * m_padded * n_ct,
+        bytes_accessed=(
+            dvals.size * 4
+            + n_bblocks * n_ct * m_padded * 4
+            + (2 if with_c else 1) * n_ct * m_padded * 4
+        ),
+        transcendentals=0,
+    )
+
+    operands = [dvals]
+    operands += [bt_padded] * n_bblocks
+    if with_c:
+        operands.append(ct_padded)
+    operands.append(ab)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n_ct, tile_m), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((n_ct, m_padded), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=cost,

@@ -225,3 +225,92 @@ def test_cost_based_diag_lift_circuit_band():
     assert fixed.diag_offsets.size <= 2  # only the main diagonal qualifies
     assert adaptive.diag_offsets.size > 100  # the whole band lifts
     assert adaptive.residue.nnz < 0.05 * coo.nnz
+
+
+def test_dia_ct_kernel_matches_standard():
+    """Skinny-N C-transposed DIA kernel (interpret) vs the standard layout
+    and the dense reference — including block-straddling offsets."""
+    import jax.numpy as jnp
+
+    from sextans_tpu.ops.spmm_dia_pallas import (
+        spmm_dia_ct_padded,
+        spmm_dia_padded,
+    )
+
+    rng = np.random.default_rng(4)
+    m, n, tile_m = 160, 16, 64
+    offsets = (-70, -1, 0, 3, 65)  # straddles 64-row blocks, negative side
+    D = len(offsets)
+    m_pad = 192  # multiple of tile_m
+    dvals = rng.standard_normal((D, m_pad)).astype(np.float32)
+    dvals[:, m:] = 0.0
+    k = m  # square
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    alpha, beta = jnp.float32(1.3), jnp.float32(-0.4)
+    pad_lo = 70
+
+    # dense reference
+    a = np.zeros((m_pad, k), np.float64)
+    for j, off in enumerate(offsets):
+        for i in range(m):
+            col = i + off
+            if 0 <= col < k:
+                a[i, col] = dvals[j, i]
+            else:
+                dvals[j, i] = 0.0  # out-of-range: zero for all paths
+    want = 1.3 * (a[:m] @ b.astype(np.float64)) - 0.4 * c
+
+    # standard layout
+    tile_n = 128
+    bp = jnp.pad(jnp.asarray(b), ((pad_lo, 0), (0, tile_n - n)))
+    cp = jnp.pad(jnp.asarray(c), ((0, m_pad - m), (0, tile_n - n)))
+    dvt = jnp.asarray(np.ascontiguousarray(dvals.T))
+    got_std = np.asarray(
+        spmm_dia_padded(dvt, bp, cp, alpha, beta, offsets=offsets,
+                        tile_m=tile_m, tile_n=tile_n, interpret=True)
+    )[:m, :n]
+    np.testing.assert_allclose(got_std, want, rtol=1e-5, atol=1e-4)
+
+    # CT layout
+    n_ct = 16
+    bt = jnp.pad(jnp.asarray(b.T), ((0, n_ct - n), (pad_lo, 0)))
+    ct = jnp.pad(jnp.asarray(c.T), ((0, n_ct - n), (0, m_pad - m)))
+    got_ct = np.asarray(
+        spmm_dia_ct_padded(jnp.asarray(dvals), bt, ct, alpha, beta,
+                           offsets=offsets, tile_m=tile_m, interpret=True)
+    ).T[:m, :n]
+    np.testing.assert_allclose(got_ct, want, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(got_ct, got_std, rtol=1e-6, atol=1e-6)
+
+
+def test_hybrid_plan_uses_dia_ct_at_skinny_n():
+    """End-to-end: HybridSpmmPlan with the pallas DIA engine (interpret) at
+    N=16 routes through the CT kernel and matches golden."""
+    import jax.numpy as jnp
+
+    from sextans_tpu.format.csr import CSRMatrix
+    from sextans_tpu.ops.golden import golden_spmm
+    from sextans_tpu.ops.hybrid import HybridSpmmPlan
+
+    rng = np.random.default_rng(11)
+    m = 2000
+    diag = np.arange(m, dtype=np.int64)
+    lr = rng.integers(0, m, m * 3)
+    lc = np.clip(lr + rng.integers(-20, 21, m * 3), 0, m - 1)
+    rows = np.concatenate([diag, lr])
+    cols = np.concatenate([diag, lc])
+    lin = rows * m + cols
+    _, keep = np.unique(lin, return_index=True)
+    vals = rng.standard_normal(keep.size).astype(np.float32)
+    vals[vals == 0] = 1.0
+    coo = COOMatrix((m, m), rows[keep].astype(np.int32),
+                    cols[keep].astype(np.int32), vals)
+    s = split_structure(coo, n=16)
+    assert s.diag_offsets.size > 10
+    plan = HybridSpmmPlan(s, 16, dia_backend="pallas_interpret")
+    b = rng.standard_normal((m, 16)).astype(np.float32)
+    c = rng.standard_normal((m, 16)).astype(np.float32)
+    got = np.asarray(plan(jnp.asarray(b), 0.85, -2.06, jnp.asarray(c)))
+    want = golden_spmm(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    assert np.max(np.abs(got - want)) < 1e-3
