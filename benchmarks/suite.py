@@ -264,6 +264,18 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
 
     ro = (reorder_cols, False)  # winner's (reorder_cols, reorder_rows)
     t0 = time.perf_counter()
+    def _race_secs(plan_x):
+        """Escalating measured time for one candidate (shared by the
+        blocked race below and the hybrid-vs-blocked check)."""
+        times_x = 8
+        secs_x = time_repeat(plan_x, b_dev, alpha, beta, c_dev, times=times_x)
+        while secs_x * times_x < 0.35 and times_x < 4096:
+            times_x = min(4096, max(times_x * 8, int(0.4 / max(secs_x, 1e-7))))
+            secs_x = time_repeat(
+                plan_x, b_dev, alpha, beta, c_dev, times=times_x
+            )
+        return secs_x
+
     if split is not None:
         from sextans_tpu.ops.hybrid import HybridSpmmPlan
 
@@ -276,6 +288,37 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         fmt = f"hybrid+{plan.residue_fmt}"
         cfg = plan.residue_config
         packed = plan._residue_plan.packed
+        # The hybrid gate is a MODEL decision; validate it with a measured
+        # race against the best single-engine candidate (analytic models
+        # mis-rank 10-100x on some patterns — same reason the blocked race
+        # exists). Stored-hybrid rows skip this like every stored config.
+        if (
+            use_autotune and stored is None and coo.nnz <= 8_000_000
+            and backend in ("auto", "hybrid")
+        ):
+            try:
+                plan(b_dev, alpha, beta, c_dev)  # compile hybrid
+                t_h = _race_secs(plan)
+                from sextans_tpu.utils.autotune import choose_backend as _cb4
+
+                alt = _cb4(coo_for_tuning, n=n, top=1)[0]
+                if pack_cache is not None:
+                    packed_a = pack_cache.get_or_pack(
+                        name, coo, alt.config, alt.fmt, reorder_cols
+                    )
+                else:
+                    packed_a = _pack_for(coo, alt.config, alt.fmt, reorder_cols)
+                plan_a = SpmmPlan(packed_a, n, backend="auto")
+                plan_a(b_dev, alpha, beta, c_dev)
+                t_a = _race_secs(plan_a)
+                log(f"  hybrid race: hybrid {t_h * 1e3:.3f} ms vs "
+                    f"{alt.fmt} {t_a * 1e3:.3f} ms")
+                if t_a < t_h:
+                    plan, packed = plan_a, packed_a
+                    cfg, fmt = alt.config, alt.fmt
+                    split = None
+            except Exception as e:
+                log(f"  hybrid race alt failed: {str(e)[:100]}")
     else:
         # A contended pool corrupts the race itself (observed: a 2000x-off
         # relative ranking), so wait for a healthy window before racing.
@@ -378,26 +421,13 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 )
                 plan_i(b_dev, alpha, beta, c_dev)  # compile + first run
                 if do_race:
-                    # adaptive repeat count: a fixed small T measures only
-                    # the ~40 ms dispatch+fetch RTT for fast kernels (the
-                    # differential degenerates to the amortized wall) —
-                    # escalate until the chain spans >> RTT
-                    times_i = 8
-                    secs_i = time_repeat(
-                        plan_i, b_dev, alpha, beta, c_dev, times=times_i
-                    )
-                    while secs_i * times_i < 0.35 and times_i < 4096:
-                        times_i = min(
-                            4096,
-                            max(times_i * 8, int(0.4 / max(secs_i, 1e-7))),
-                        )
-                        secs_i = time_repeat(
-                            plan_i, b_dev, alpha, beta, c_dev, times=times_i
-                        )
+                    # adaptive repeat count (_race_secs): a fixed small T
+                    # measures only the ~40 ms dispatch+fetch RTT for fast
+                    # kernels — escalate until the chain spans >> RTT
+                    secs_i = _race_secs(plan_i)
                     log(f"  candidate {fmt_i} bk={cfg_i.block_k} "
                         f"tm={cfg_i.tile_m} wk={cfg_i.window_k} "
-                        f"tn={cfg_i.tile_n}: {secs_i * 1e3:.3f} ms "
-                        f"(T={times_i})")
+                        f"tn={cfg_i.tile_n}: {secs_i * 1e3:.3f} ms")
                 else:
                     secs_i = 0.0
                 if best_secs is None or secs_i < best_secs:
