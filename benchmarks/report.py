@@ -75,6 +75,11 @@ def main(paths):
             r = e[0]
             nnz = f"{r['nnz']:,}"
             flag = "" if r.get("verify") == "pass" else " ⚠"
+            if r.get("timing", {}).get("method") == "amortized":
+                # conservative bound: the differential did not resolve, so
+                # the amortized wall (fixed costs included) was published —
+                # the true kernel time can only be faster
+                flag += " †"
             cells.append(f"{r['gflops']:.0f}{flag}")
             u = r.get("max_abs_vs_f64_ulp")
             if u is not None and (worst_ulp is None or u > worst_ulp):
@@ -85,6 +90,12 @@ def main(paths):
             err += " ✓1e-6"
         print(f"| {mname} | {nnz} | " + " | ".join(cells) + f" | {err} |")
     print()
+    if any(e[0].get("timing", {}).get("method") == "amortized"
+           for e in best.values()):
+        print("† amortized-wall timing (differential did not resolve): a "
+              "conservative bound that includes fixed dispatch costs — the "
+              "kernel itself can only be faster.")
+        print()
     for p in paths:
         doc = json.load(open(p))
         ses = doc.get("session", {})

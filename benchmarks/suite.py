@@ -537,11 +537,15 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     # rp_time and escalate until the measured span is ~0.3s of kernel time.
     def measure():
         times = rp_time
-        secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=times)
+        secs, tinfo = time_repeat(
+            plan, b_dev, alpha, beta, c_dev, times=times, detail=True
+        )
         while secs * times < 0.3 and times < 4096:
             times = min(4096, max(times * 4, int(0.35 / max(secs, 1e-6))))
-            secs = time_repeat(plan, b_dev, alpha, beta, c_dev, times=times)
-        return times, secs
+            secs, tinfo = time_repeat(
+                plan, b_dev, alpha, beta, c_dev, times=times, detail=True
+            )
+        return times, secs, tinfo
 
     # Canary-gated timing: refuse to time in a contended pool window (pre
     # gate), and re-measure if contention arrived mid-row (post gate).
@@ -556,8 +560,10 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 f"[{attempt + 1}/{canary_retries}]")
             time.sleep(CANARY_BACKOFF_S)
             continue
-        times, sample = measure()
-        secs = sample if secs is None else min(secs, sample)
+        times, sample, tinfo = measure()
+        if secs is None or sample < secs:
+            secs = sample
+            rec["timing"] = tinfo
         post = canary() if canary is not None else None
         rec["canary_pre_ms"], rec["canary_post_ms"] = pre, post
         if post is None or post <= healthy_ms:
@@ -565,7 +571,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         log(f"  post-canary {post} ms unhealthy; re-measuring")
     else:
         if secs is None:  # every attempt gated out: measure anyway, flagged
-            times, secs = measure()
+            times, secs, rec["timing"] = measure()
         rec["canary_unhealthy"] = True
     rec["rp_time"] = times
     rec["ms"] = round(secs * 1e3, 3)

@@ -41,9 +41,13 @@ def time_chained(
     return (time.perf_counter() - t0) / max(rp_time, 1)
 
 
-def time_repeat(plan, b, alpha, beta, c0, times: int = 10) -> float:
+def time_repeat(plan, b, alpha, beta, c0, times: int = 10, detail: bool = False):
     """Time an SpmmPlan with the in-device repeat loop (the faithful rp_time
-    analog). Returns seconds per kernel invocation.
+    analog). Returns seconds per kernel invocation; with ``detail=True``
+    returns ``(seconds, info)`` where ``info`` records which protocol
+    produced the number (``method``: "differential" when wall(2T)-wall(T)
+    resolved, "amortized" when the fallback engaged) plus the raw walls —
+    so every published row can carry its own error-bar provenance.
 
     Measurement is *differential*: wall(2T) - wall(T), each wall including a
     full result fetch. This cancels every fixed cost — dispatch RTT, result
@@ -75,9 +79,18 @@ def time_repeat(plan, b, alpha, beta, c0, times: int = 10) -> float:
     w2 = min(wall(2 * times, alpha + 3 * eps), wall(2 * times, alpha + 4 * eps))
     dt = (w2 - w1) / times
     avg2 = w2 / (2 * times)  # conservative: includes fixed costs, amortized
+    method = "differential"
     if dt < 0.25 * avg2:
         # The two walls agree within noise — the differential is meaningless
         # (can report absurd near-zero marginals). Use the amortized wall,
         # which can only overestimate.
         dt = avg2
+        method = "amortized"
+    if detail:
+        return dt, {
+            "method": method,
+            "wall_T_s": round(w1, 6),
+            "wall_2T_s": round(w2, 6),
+            "times": times,
+        }
     return dt

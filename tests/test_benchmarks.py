@@ -76,8 +76,11 @@ def test_race_includes_2d_reorder_candidates(monkeypatch):
     # neutralize the expensive timing: every candidate 'measures' instantly
     import sextans_tpu.utils.timing as timing_mod
 
-    monkeypatch.setattr(timing_mod, "time_repeat",
-                        lambda plan, b, a, be, c, times=1: 1e-3)
+    monkeypatch.setattr(
+        timing_mod, "time_repeat",
+        lambda plan, b, a, be, c, times=1, detail=False:
+            (1e-3, {"method": "differential", "times": times})
+            if detail else 1e-3)
     err = io.StringIO()
     with contextlib.redirect_stderr(err):
         rec = suite_mod.run_one(
@@ -121,8 +124,11 @@ def test_store_challenge_reopens_hybrid_gate(tmp_path, monkeypatch):
 
     import sextans_tpu.utils.timing as timing_mod
 
-    monkeypatch.setattr(timing_mod, "time_repeat",
-                        lambda plan, b, a, be, c, times=1: 1e-3)
+    monkeypatch.setattr(
+        timing_mod, "time_repeat",
+        lambda plan, b, a, be, c, times=1, detail=False:
+            (1e-3, {"method": "differential", "times": times})
+            if detail else 1e-3)
     err = io.StringIO()
     with contextlib.redirect_stderr(err):
         rec = suite_mod.run_one(

@@ -154,9 +154,11 @@ def test_time_repeat_rejects_noise_dominated_differential():
             time.sleep(0.01)  # fixed wall regardless of times → pure noise
             return np.zeros((2, 2), dtype=np.float32)
 
-    secs = time_repeat(FakePlan(), None, 1.0, 0.0, None, times=10)
+    secs, info = time_repeat(FakePlan(), None, 1.0, 0.0, None, times=10,
+                             detail=True)
     # amortized fallback: ~0.01 / 20; never the near-zero differential
     assert secs >= 0.01 / 25
+    assert info["method"] == "amortized"
 
 
 def test_time_repeat_uses_differential_when_clean():
@@ -167,6 +169,8 @@ def test_time_repeat_uses_differential_when_clean():
             time.sleep(0.002 + 0.001 * times)  # fixed + linear component
             return np.zeros((2, 2), dtype=np.float32)
 
-    secs = time_repeat(FakePlan(), None, 1.0, 0.0, None, times=10)
+    secs, info = time_repeat(FakePlan(), None, 1.0, 0.0, None, times=10,
+                             detail=True)
     # true marginal is 1ms/iter; fixed 2ms must be cancelled
     assert 0.0007 < secs < 0.0016, secs
+    assert info["method"] == "differential"
