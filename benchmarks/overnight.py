@@ -99,6 +99,10 @@ def main(argv=None):
                          "persist; later passes skip re-racing)")
     ap.add_argument("--extra", nargs="*", default=[],
                     help="extra args forwarded to suite.py")
+    ap.add_argument("--refine", action="store_true",
+                    help="re-time rows that already have a healthy canonical "
+                         "sample (default: coverage-first — each pass skips "
+                         "covered rows so the budget reaches the tail)")
     ap.add_argument("--stall-minutes", type=float, default=45.0,
                     help="kill a pass whose incremental output file stops "
                          "advancing for this long (wedged device call)")
@@ -108,8 +112,14 @@ def main(argv=None):
     pass_dir.mkdir(parents=True, exist_ok=True)
     deadline = time.time() + args.hours * 3600
 
+    # Number from the highest existing index, not the count: a restarted
+    # driver must never reuse (and silently overwrite) a live pass file.
+    import re
+
     existing = sorted(pass_dir.glob("pass_*.json"))
-    i = len(existing)
+    nums = [int(m.group(1)) for p in existing
+            if (m := re.match(r"pass_(\d+)", p.stem))]
+    i = max(nums, default=0)
     while time.time() < deadline and i < args.max_passes:
         i += 1
         out = pass_dir / f"pass_{i:02d}.json"
@@ -124,6 +134,8 @@ def main(argv=None):
             "--out", str(out),
             *args.extra,
         ]
+        if not args.refine and Path(args.out).exists():
+            cmd += ["--skip-covered", args.out]
         log(f"pass {i}: {' '.join(cmd)}")
         # The suite exits cleanly at --deadline-ts between rows; on top of
         # the generous overall backstop, a STALL watchdog kills the pass if

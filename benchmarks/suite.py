@@ -611,6 +611,24 @@ def nasa_canary(rp_time=256):
     return round(secs * 1e3, 3)
 
 
+def load_covered(path) -> set:
+    """(matrix, n) pairs with a canary-healthy timing in a canonical results
+    file — the rows a coverage-first pass may skip. Unreadable/absent file
+    means nothing is covered (run everything)."""
+    from benchmarks.report import is_healthy
+
+    try:
+        doc = json.loads(Path(path).read_text())
+    except (OSError, json.JSONDecodeError):
+        return set()
+    covered = set()
+    for r in doc.get("results", []):
+        ses = r.get("session", doc.get("session", {}))
+        if "gflops" in r and is_healthy(r, ses):
+            covered.add((r["matrix"], r["n"]))
+    return covered
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="small", choices=["small", "full"])
@@ -627,6 +645,15 @@ def main(argv=None):
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--no-canary", action="store_true")
     ap.add_argument("--only", default=None, help="substring filter on matrix name")
+    ap.add_argument(
+        "--skip-covered",
+        default=None,
+        metavar="RESULTS_JSON",
+        help="skip (matrix, N) rows that already have a canary-healthy "
+             "timing in this canonical results file (coverage-first "
+             "budgeting: never re-time a covered row while others have "
+             "none; the overnight driver forwards its merge target here)",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument(
         "--tuned-configs",
@@ -681,10 +708,20 @@ def main(argv=None):
 
     pack_cache = PackCache()
 
+    covered = set()
+    if args.skip_covered:
+        covered = load_covered(args.skip_covered)
+        log(f"skip-covered: {len(covered)} healthy rows in "
+            f"{args.skip_covered}")
+
     results = []
     stopped = False
     for name, gen in suite(args.scale).items():
         if args.only and args.only not in name:
+            continue
+        todo_n = [n for n in args.n if (name, n) not in covered]
+        if not todo_n:
+            log(f"== {name} == all N covered; skipping")
             continue
         if args.deadline_ts and time.time() > args.deadline_ts:
             log("deadline reached; stopping before next matrix")
@@ -695,7 +732,7 @@ def main(argv=None):
         coo = _gen_cached(name, gen)
         log(f"  generated/loaded in {time.perf_counter()-t0:.1f}s: "
             f"{coo.shape} nnz={coo.nnz}")
-        for n in args.n:
+        for n in todo_n:
             if args.deadline_ts and time.time() > args.deadline_ts:
                 log("deadline reached; stopping before next row")
                 stopped = True

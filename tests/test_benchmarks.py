@@ -137,3 +137,32 @@ def test_store_challenge_reopens_hybrid_gate(tmp_path, monkeypatch):
     assert "store challenge" in err.getvalue()
     assert rec["fmt"].startswith("hybrid")
     assert rec["verify"] == "pass"
+
+
+def test_load_covered_skips_only_healthy_rows(tmp_path):
+    """Coverage-first budgeting: a canonical row counts as covered only if
+    it has a timing AND its canary was healthy; error rows and contended
+    rows must be re-run by later passes."""
+    import json
+
+    from benchmarks.suite import load_covered
+
+    doc = {
+        "results": [
+            # healthy merged row (carries its own session, overnight-style)
+            {"matrix": "a", "n": 16, "gflops": 10.0,
+             "canary_pre_ms": 0.4, "canary_post_ms": 0.45,
+             "session": {"canary_healthy_ms": 0.5}},
+            # contended row: canary above the session threshold
+            {"matrix": "a", "n": 512, "gflops": 3.0,
+             "canary_pre_ms": 2.0,
+             "session": {"canary_healthy_ms": 0.5}},
+            # error row: never timed
+            {"matrix": "b", "n": 16, "error": "boom",
+             "session": {"canary_healthy_ms": 0.5}},
+        ]
+    }
+    p = tmp_path / "canon.json"
+    p.write_text(json.dumps(doc))
+    assert load_covered(p) == {("a", 16)}
+    assert load_covered(tmp_path / "missing.json") == set()
