@@ -193,6 +193,7 @@ class SpmmPlan:
                 tile_n=self.tile_n,
                 interpret=(backend == "edge_interpret"),
                 masked=cfg.edge_masked,
+                precise=cfg.precise,
             )
 
             def run(vals, meta, _ph, gmt, gkw, b_p, c_p, alpha, beta,

@@ -48,13 +48,17 @@ def _kernel(
     vals_ref,  # (1, 1, E) f32 SMEM
     meta_ref,  # (1, 1, E) i32 SMEM
     b_ref,  # (1, window_k, tile_n) f32 VMEM
-    *rest,  # [cin_ref,] out_ref, acc_ref
+    *rest,  # [cin_ref,] out_ref, acc_ref [, comp_ref if precise]
     edge_chunk: int,
     tile_n: int,
     lanes: int,
     with_c: bool,
     masked: bool,
+    precise: bool,
 ):
+    comp_ref = None
+    if precise:
+        *rest, comp_ref = rest
     if with_c:
         cin_ref, out_ref, acc_ref = rest
     else:
@@ -69,6 +73,8 @@ def _kernel(
     @pl.when(is_first)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        if precise:
+            comp_ref[...] = jnp.zeros_like(comp_ref)
 
     col_mask = (1 << (ROW_SHIFT - COL_SHIFT)) - 1
     L = lanes
@@ -78,9 +84,14 @@ def _kernel(
         # pads row runs to a multiple of L, so all registers always hold
         # partials of the SAME row and row_end can only sit on lane L-1 —
         # the L-way ILP that breaks the serial register FMA chain.
+        if precise:
+            regs, comps = carry[:L], carry[L:]
+        else:
+            regs, comps = carry, None
         base = t * L
         words = [meta_ref[0, 0, base + j] for j in range(L)]
         new = []
+        newc = []
         for j in range(L):
             col = (words[j] >> COL_SHIFT) & col_mask
             v = vals_ref[0, 0, base + j]
@@ -93,7 +104,18 @@ def _kernel(
                 contrib = jnp.where(
                     (words[j] & 1) != 0, jnp.zeros_like(contrib), contrib
                 )
-            new.append(carry[j] + contrib)
+            if precise:
+                # Kahan two-sum per lane register: hub rows accumulate
+                # thousands of edges into one register — the compensation
+                # recovers the low-order bits that serial chain drops
+                # (same convention as spmm_pallas.py: comp holds the amount
+                # by which the register OVERSTATES the true partial)
+                y = contrib - comps[j]
+                t_ = regs[j] + y
+                newc.append((t_ - regs[j]) - y)
+                new.append(t_)
+            else:
+                new.append(regs[j] + contrib)
         wlast = words[L - 1]
         row_end = (wlast & 2) != 0
 
@@ -103,25 +125,42 @@ def _kernel(
             total = new[0]
             for j in range(1, L):
                 total = total + new[j]
-            acc_ref[pl.ds(row, 1), :] += total
+            if precise:
+                totalc = newc[0]
+                for j in range(1, L):
+                    totalc = totalc + newc[j]
+                # two-sum the flush into the persistent (acc, comp) pair,
+                # then fold in the lanes' own accumulated compensation
+                y = total - comp_ref[pl.ds(row, 1), :]
+                s_old = acc_ref[pl.ds(row, 1), :]
+                t_ = s_old + y
+                comp_ref[pl.ds(row, 1), :] = (t_ - s_old) - y + totalc
+                acc_ref[pl.ds(row, 1), :] = t_
+            else:
+                acc_ref[pl.ds(row, 1), :] += total
 
         # predicated reset (scalar broadcast multiply)
         keep = jnp.where(row_end, jnp.float32(0), jnp.float32(1))
-        return tuple(x * keep for x in new)
+        out = tuple(x * keep for x in new)
+        if precise:
+            out = out + tuple(x * keep for x in newc)
+        return out
 
-    jax.lax.fori_loop(
-        0,
-        edge_chunk // L,
-        body,
-        tuple(jnp.zeros((1, tile_n), jnp.float32) for _ in range(L)),
+    zero = tuple(
+        jnp.zeros((1, tile_n), jnp.float32)
+        for _ in range(2 * L if precise else L)
     )
+    jax.lax.fori_loop(0, edge_chunk // L, body, zero)
 
     @pl.when(is_last)
     def _epilogue():
+        total = acc_ref[...]
+        if precise:
+            total = total - comp_ref[...]
         if with_c:
-            out_ref[...] = ab_ref[0] * acc_ref[...] + ab_ref[1] * cin_ref[...]
+            out_ref[...] = ab_ref[0] * total + ab_ref[1] * cin_ref[...]
         else:
-            out_ref[...] = ab_ref[0] * acc_ref[...]
+            out_ref[...] = ab_ref[0] * total
 
 
 @functools.partial(
@@ -135,6 +174,7 @@ def _kernel(
         "interpret",
         "with_c",
         "masked",
+        "precise",
     ),
 )
 def spmm_edge_padded(
@@ -155,6 +195,7 @@ def spmm_edge_padded(
     interpret: bool = False,
     with_c: bool = True,
     masked: bool = False,
+    precise: bool = False,
 ) -> jax.Array:
     n_chunks = vals.shape[0]
     m_padded, n_padded = c_padded.shape
@@ -166,7 +207,7 @@ def spmm_edge_padded(
         from sextans_tpu.utils.config import check_kernel_vmem
 
         check_kernel_vmem(
-            acc_bytes=4 * tile_m * tile_n,
+            acc_bytes=4 * (2 if precise else 1) * tile_m * tile_n,
             b_window_bytes=4 * window_k * tile_n,
             c_bytes=4 * (2 if with_c else 1) * tile_m * tile_n,
             vals_bytes=8 * edge_chunk,
@@ -199,7 +240,8 @@ def spmm_edge_padded(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_m, tile_n), c_idx),
-        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)]
+        + ([pltpu.VMEM((tile_m, tile_n), jnp.float32)] if precise else []),
     )
 
     kernel = functools.partial(
@@ -209,6 +251,7 @@ def spmm_edge_padded(
         lanes=edge_lanes,
         with_c=with_c,
         masked=masked,
+        precise=precise,
     )
 
     cost = pl.CostEstimate(

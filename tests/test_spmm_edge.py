@@ -257,3 +257,58 @@ def test_unmasked_edge_kernel_documented_precondition():
     plan = SpmmPlan(packed, n, backend="edge_interpret")
     got = np.asarray(plan(jnp.asarray(b), 1.0, 0.0, None))
     assert not np.isfinite(got).all()  # the documented leak
+
+
+@pytest.mark.parametrize("lanes", [1, 2])
+def test_edge_precise_mode_tightens_error(lanes):
+    """Kahan compensation in the edge kernel: per-lane two-sum over a hub
+    row's long register chain + compensated flush into the accumulator must
+    land within ~2 ulp of the f64 oracle (the same contract the VPU/MXU
+    kernels honor — docs/ACCURACY.md)."""
+    rng = np.random.default_rng(3)
+    m, k, n = 64, 4096, 16
+    # 8 hub rows x full-K degree: a 4096-edge serial chain per register
+    rows = np.repeat(np.arange(8, dtype=np.int32), k)
+    cols = np.tile(np.arange(k, dtype=np.int32), 8)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    coo = COOMatrix((m, k), rows, cols, vals)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    ulp = float(np.spacing(np.float32(np.abs(want).max())))
+
+    errs = {}
+    for precise in (False, True):
+        cfg = SpmmConfig(tile_m=64, window_k=512, edge_chunk=128,
+                         edge_lanes=lanes, precise=precise)
+        packed = pack_edge(coo, cfg)
+        got = np.asarray(
+            SpmmPlan(packed, n, backend="edge_interpret")(b, 0.85, -2.06, c)
+        )
+        errs[precise] = float(np.abs(got - want).max())
+    assert errs[True] <= errs[False], errs
+    assert errs[True] <= 2.5 * ulp, (errs, ulp)
+
+
+def test_edge_precise_masked_compose():
+    """precise + masked compose: compensated accumulation with IEEE-clean
+    padding under non-finite B."""
+    coo = COOMatrix.random(300, 400, 2500, seed=11)
+    rng = np.random.default_rng(0)
+    m, k = coo.shape
+    n = 32
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    b[0, :] = np.inf  # first row of window 0: pad slots would hit it
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    cfg = SpmmConfig(tile_m=128, window_k=256, edge_chunk=128,
+                     precise=True, edge_masked=True)
+    # keep column 0 out of the real pattern so golden stays finite
+    keep = coo.cols != 0
+    coo = COOMatrix((m, k), coo.rows[keep], coo.cols[keep], coo.vals[keep])
+    packed = pack_edge(coo, cfg)
+    got = np.asarray(
+        SpmmPlan(packed, n, backend="edge_interpret")(b, 0.85, -2.06, c)
+    )
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    assert np.isfinite(got).all()
+    assert np.abs(got - want).max() < 1e-4
