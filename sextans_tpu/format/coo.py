@@ -74,6 +74,88 @@ class COOMatrix:
         return COOMatrix((self.shape[1], self.shape[0]), self.cols, self.rows, self.vals)
 
     @staticmethod
+    def from_dense(dense: np.ndarray) -> "COOMatrix":
+        """Dense (M, K) array -> COO, dropping exact zeros (the loader's
+        bitwise-zero rule: -0.0 entries are kept, src/sparse_helper.h:145)."""
+        dense = np.asarray(dense)
+        if dense.ndim != 2:
+            raise ValueError(f"dense matrix must be 2-D, got shape {dense.shape}")
+        vals32 = dense.astype(np.float32)
+        keep = vals32.view(np.uint32) != 0
+        rows, cols = np.nonzero(keep)
+        return COOMatrix(
+            dense.shape,
+            rows.astype(np.int32),
+            cols.astype(np.int32),
+            vals32[rows, cols],
+        )
+
+    @staticmethod
+    def from_scipy(mat) -> "COOMatrix":
+        """Any ``scipy.sparse`` matrix/array -> COO (duplicates summed, the
+        scipy convention)."""
+        coo = mat.tocoo()
+        coo.sum_duplicates()
+        return COOMatrix(
+            coo.shape,
+            coo.row.astype(np.int32),
+            coo.col.astype(np.int32),
+            coo.data.astype(np.float32),
+        )
+
+    def to_scipy(self):
+        """COO -> ``scipy.sparse.coo_matrix`` (float32)."""
+        import scipy.sparse as sp
+
+        return sp.coo_matrix((self.vals, (self.rows, self.cols)), shape=self.shape)
+
+    @staticmethod
+    def from_bcoo(mat) -> "COOMatrix":
+        """``jax.experimental.sparse.BCOO`` (unbatched, 2-D) -> COO.
+
+        Duplicate coordinates are summed (BCOO's implicit-accumulation
+        semantics); out-of-range "padding" coordinates produced by BCOO ops
+        are dropped.
+        """
+        if getattr(mat, "n_batch", 0) or getattr(mat, "n_dense", 0):
+            raise ValueError(
+                "only unbatched 2-D BCOO is supported "
+                f"(n_batch={mat.n_batch}, n_dense={mat.n_dense})"
+            )
+        m, k = mat.shape
+        idx = np.asarray(mat.indices)
+        vals = np.asarray(mat.data, dtype=np.float32)
+        rows, cols = idx[:, 0].astype(np.int64), idx[:, 1].astype(np.int64)
+        ok = (rows >= 0) & (rows < m) & (cols >= 0) & (cols < k)
+        rows, cols, vals = rows[ok], cols[ok], vals[ok]
+        lin = rows * k + cols
+        uniq, inv = np.unique(lin, return_inverse=True)
+        summed = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(summed, inv, vals.astype(np.float64))
+        return COOMatrix(
+            (m, k),
+            (uniq // k).astype(np.int32),
+            (uniq % k).astype(np.int32),
+            summed.astype(np.float32),
+        )
+
+    def to_bcoo(self):
+        """COO -> ``jax.experimental.sparse.BCOO`` (row-sorted indices)."""
+        import jax.numpy as jnp
+        from jax.experimental import sparse as jsparse
+
+        s = self.sorted_by_row()
+        indices = jnp.stack(
+            [jnp.asarray(s.rows), jnp.asarray(s.cols)], axis=1
+        ).astype(jnp.int32)
+        return jsparse.BCOO(
+            (jnp.asarray(s.vals), indices),
+            shape=self.shape,
+            indices_sorted=True,
+            unique_indices=True,
+        )
+
+    @staticmethod
     def random(
         m: int,
         k: int,

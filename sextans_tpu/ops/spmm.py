@@ -41,14 +41,29 @@ MatrixLike = Union[
 
 
 def prepare(a: MatrixLike, config: Optional[SpmmConfig] = None) -> PackedSpMatrix:
-    """Coerce any supported sparse container into the packed block format."""
+    """Coerce any supported sparse container into the packed block format.
+
+    Besides the library's own containers, accepts ``scipy.sparse``
+    matrices/arrays, unbatched 2-D ``jax.experimental.sparse.BCOO``, and
+    dense 2-D NumPy/JAX arrays (exact zeros dropped) — the switch-over
+    surface for users arriving from other sparse stacks.
+    """
     if isinstance(a, (PackedSpMatrix, PackedSpMatrixMXU, PackedSpMatrixEdge)):
         return a
     cfg = config or SpmmConfig()
     if isinstance(a, (CSRMatrix, CSCMatrix)):
         a = a.to_coo()
     if not isinstance(a, COOMatrix):
-        raise TypeError(f"unsupported sparse matrix type {type(a)!r}")
+        if hasattr(a, "tocoo"):  # any scipy.sparse format
+            a = COOMatrix.from_scipy(a)
+        elif type(a).__name__ == "BCOO":
+            a = COOMatrix.from_bcoo(a)
+        elif hasattr(a, "ndim") and getattr(a, "ndim", 0) == 2:
+            import numpy as np
+
+            a = COOMatrix.from_dense(np.asarray(a))
+        else:
+            raise TypeError(f"unsupported sparse matrix type {type(a)!r}")
     return pack(a, cfg)
 
 
