@@ -121,6 +121,79 @@ def make_fast_canary():
     return ms
 
 
+def cover_upper_bound(coo):
+    """Cheap O(nnz) pre-screen before the full hybrid split: upper-bound
+    the dense cover from diagonal/hub histograms (split_structure + residue
+    re-analysis costs ~10 min on 45M-edge matrices, and the hybrid gate
+    runs per N row). Includes dense head ROWS (split_structure lifts up to
+    256 rows) so a row-hub-dominated matrix is never screened out even when
+    its true dense cover clears the threshold."""
+    diag_id = coo.cols.astype(np.int64) - coo.rows.astype(np.int64)
+    dcount = np.bincount(diag_id - diag_id.min())
+    diag_ub = int(np.sort(dcount)[::-1][:64].sum())
+    cdeg = np.bincount(coo.cols, minlength=coo.shape[1])
+    hub_ub = int(np.sort(cdeg)[::-1][:2048].sum())
+    rdeg = np.bincount(coo.rows, minlength=coo.shape[0])
+    row_ub = int(np.sort(rdeg)[::-1][:256].sum())
+    return (diag_ub + hub_ub + row_ub) / max(coo.nnz, 1)
+
+
+def candidate_list(coo_for_tuning, coo, n, base_ro, first=None):
+    """The analytic race candidates for one (matrix, N) row — the model's
+    top-3 plus family-diversity picks plus 2-D-reordered blocked candidates
+    on hub-heavy matrices. Shared by run_one's measured race and
+    prepack.py's host-side cache warmer (they MUST enumerate identically,
+    or the warmed packs miss). Returns [(cfg, fmt, (r_cols, r_rows))]."""
+    from sextans_tpu.utils.autotune import choose_backend as _cb3
+
+    cands = [
+        (r.config, r.fmt, base_ro)
+        for r in _cb3(coo_for_tuning, n=n, top=3)
+    ]
+    if first is not None and first != (cands[0][0], cands[0][1]):
+        cands.insert(0, (*first, base_ro))
+    # ensure family diversity: add the best candidate of any family
+    # missing from the model's top picks
+    fams = {f for _, f, _ in cands}
+    from sextans_tpu.utils.autotune import (
+        choose_config,
+        choose_config_edge,
+        choose_config_mxu,
+    )
+
+    best_pred = _cb3(coo_for_tuning, n=n, top=1)[0].predicted_cost
+    for fam, chooser in (
+        ("vpu", choose_config),
+        ("mxu", choose_config_mxu),
+        ("edge", choose_config_edge),
+    ):
+        if fam not in fams:
+            extra_c = chooser(coo_for_tuning, n=n, top=1)
+            # racing a family the model puts >5x off the best is
+            # wasted device time even when the model is rough
+            if extra_c and extra_c[0].predicted_cost < 5 * best_pred:
+                cands.append((extra_c[0].config, fam, base_ro))
+    # hub-heavy matrices: add 2-D degree-reordered blocked candidates
+    # (the round-3 lever — the hub core clusters into dense blocks;
+    # only a measured race can tell whether it beats edge/hybrid)
+    cdeg = np.bincount(coo.cols, minlength=coo.shape[1])
+    hub_mass = np.sort(cdeg)[::-1][:2048].sum() / max(coo.nnz, 1)
+    if hub_mass >= 0.3 and coo.nnz <= 8_000_000:
+        from sextans_tpu.format.pack import reorder_columns as _rc
+        from sextans_tpu.format.pack import reorder_rows as _rr
+
+        coo2d, _ = _rc(coo)
+        coo2d, _ = _rr(coo2d)
+        for fam, chooser in (
+            ("vpu", choose_config), ("mxu", choose_config_mxu),
+        ):
+            c2 = chooser(coo2d, n=n, top=1)
+            if c2:
+                cands.append((c2[0].config, fam, (True, True)))
+        log(f"  2d-reorder candidates added (hub mass {hub_mass:.0%})")
+    return cands
+
+
 def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             reorder_cols=False, store=None, hybrid="auto", canary=None,
             canary_retries=CANARY_RETRIES, healthy_ms=HEALTHY_CANARY_MS,
@@ -204,29 +277,17 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         from sextans_tpu.utils.autotune import choose_backend as _cb
         from sextans_tpu.utils.autotune import hybrid_cost
 
-        # cheap O(nnz) pre-screen before the full split: upper-bound the
-        # dense cover from diagonal/hub histograms (split_structure +
-        # residue re-analysis costs ~10 min on 45M-edge matrices, and this
-        # gate runs per N row)
-        def _cover_upper_bound():
-            diag_id = coo.cols.astype(np.int64) - coo.rows.astype(np.int64)
-            dcount = np.bincount(diag_id - diag_id.min())
-            diag_ub = int(np.sort(dcount)[::-1][:64].sum())
-            cdeg = np.bincount(coo.cols, minlength=coo.shape[1])
-            hub_ub = int(np.sort(cdeg)[::-1][:2048].sum())
-            # dense head ROWS too (split_structure lifts up to 256 rows):
-            # without this term a row-hub-dominated matrix could be screened
-            # out even when its true dense cover clears the threshold
-            rdeg = np.bincount(coo.rows, minlength=coo.shape[0])
-            row_ub = int(np.sort(rdeg)[::-1][:256].sum())
-            return (diag_ub + hub_ub + row_ub) / max(coo.nnz, 1)
-
         screened_out = (
             fmt != "hybrid"
             and coo.nnz > 5_000_000
-            and _cover_upper_bound() < 0.3
+            and cover_upper_bound(coo) < 0.3
         )
-        cand = None if screened_out else split_structure(coo, n=n)
+        if screened_out:
+            cand = None
+        elif pack_cache is not None:
+            cand = pack_cache.get_or_split(name, coo, n=n)
+        else:
+            cand = split_structure(coo, n=n)
         dense_cover = (
             0.0
             if cand is None
@@ -284,6 +345,8 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             backend=backend if backend not in ("mxu", "hybrid") else "auto",
             residue_config=cfg if stored_hybrid_fmt else None,
             residue_fmt=stored_hybrid_fmt,
+            pack_cache=pack_cache,
+            cache_name=f"{name}@n{n}-residue",
         )
         fmt = f"hybrid+{plan.residue_fmt}"
         cfg = plan.residue_config
@@ -347,53 +410,9 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                     stored_ro = (True, True)
             cands = [(cfg, fmt, stored_ro)]
         else:
-            from sextans_tpu.utils.autotune import choose_backend as _cb3
-
-            cands = [
-                (r.config, r.fmt, base_ro)
-                for r in _cb3(coo_for_tuning, n=n, top=3)
-            ]
-            if (cfg, fmt) != (cands[0][0], cands[0][1]):
-                cands.insert(0, (cfg, fmt, base_ro))
-            # ensure family diversity: add the best candidate of any family
-            # missing from the model's top picks
-            fams = {f for _, f, _ in cands}
-            from sextans_tpu.utils.autotune import (
-                choose_config,
-                choose_config_edge,
-                choose_config_mxu,
+            cands = candidate_list(
+                coo_for_tuning, coo, n, base_ro, first=(cfg, fmt)
             )
-
-            best_pred = _cb3(coo_for_tuning, n=n, top=1)[0].predicted_cost
-            for fam, chooser in (
-                ("vpu", choose_config),
-                ("mxu", choose_config_mxu),
-                ("edge", choose_config_edge),
-            ):
-                if fam not in fams:
-                    extra_c = chooser(coo_for_tuning, n=n, top=1)
-                    # racing a family the model puts >5x off the best is
-                    # wasted device time even when the model is rough
-                    if extra_c and extra_c[0].predicted_cost < 5 * best_pred:
-                        cands.append((extra_c[0].config, fam, base_ro))
-            # hub-heavy matrices: add 2-D degree-reordered blocked candidates
-            # (the round-3 lever — the hub core clusters into dense blocks;
-            # only a measured race can tell whether it beats edge/hybrid)
-            cdeg = np.bincount(coo.cols, minlength=coo.shape[1])
-            hub_mass = np.sort(cdeg)[::-1][:2048].sum() / max(coo.nnz, 1)
-            if hub_mass >= 0.3 and coo.nnz <= 8_000_000:
-                from sextans_tpu.format.pack import reorder_columns as _rc
-                from sextans_tpu.format.pack import reorder_rows as _rr
-
-                coo2d, _ = _rc(coo)
-                coo2d, _ = _rr(coo2d)
-                for fam, chooser in (
-                    ("vpu", choose_config), ("mxu", choose_config_mxu),
-                ):
-                    c2 = chooser(coo2d, n=n, top=1)
-                    if c2:
-                        cands.append((c2[0].config, fam, (True, True)))
-                log(f"  2d-reorder candidates added (hub mass {hub_mass:.0%})")
         # huge matrices: packing each race candidate costs minutes and
         # gigabytes — take the first runnable candidate instead of racing
         do_race = len(cands) > 1 and coo.nnz <= 8_000_000

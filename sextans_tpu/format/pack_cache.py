@@ -182,3 +182,46 @@ class PackCache:
             pass  # disk cache is an optimization; never fail the pack
         self._mem[mkey] = packed
         return packed
+
+    def get_or_split(self, name: str, coo: COOMatrix, *, n=None, **params):
+        """Memoized ``ops.hybrid.split_structure``: the structure
+        decomposition costs minutes of host scatter work on 10M+-edge
+        matrices and is re-run per (matrix, N) benchmark row. Keyed by the
+        matrix fingerprint, ``n``, any non-default split params, and
+        ``SPLIT_VERSION`` (algorithm changes invalidate cached splits)."""
+        from sextans_tpu.ops.hybrid import (
+            SPLIT_VERSION,
+            HybridSplit,
+            split_structure,
+        )
+
+        extras = "|".join(f"{k}={params[k]}" for k in sorted(params))
+        sig = f"split|v{SPLIT_VERSION}|n={n}|{extras}"
+        fp = self._fingerprint(name, coo)
+        if fp != self._mem_fp:
+            self._mem.clear()
+            self._mem_fp = fp
+        mkey = (fp, sig)
+        if mkey in self._mem:
+            self.hits += 1
+            return self._mem[mkey]
+        path = self._path(fp, sig)
+        if path.exists():
+            try:
+                split = HybridSplit.load(path)
+                self._mem[mkey] = split
+                self.disk_hits += 1
+                return split
+            except Exception:
+                pass  # corrupt/stale file: fall through to re-split
+        self.misses += 1
+        split = split_structure(coo, n=n, **params)
+        try:
+            self.root.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp.npz")
+            split.save(tmp)
+            os.replace(tmp, path)
+        except OSError:
+            pass
+        self._mem[mkey] = split
+        return split

@@ -29,6 +29,7 @@ two kernel launches at most.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
@@ -36,7 +37,13 @@ import numpy as np
 from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.utils.config import SpmmConfig
 
-__all__ = ["HybridSplit", "split_structure", "HybridSpmmPlan"]
+__all__ = ["HybridSplit", "split_structure", "HybridSpmmPlan",
+           "SPLIT_VERSION"]
+
+# Bump when split_structure's selection logic changes: cached splits
+# (PackCache.get_or_split) key on this, so stale decompositions can never
+# be served after an algorithm change.
+SPLIT_VERSION = 3
 
 
 @dataclass
@@ -76,6 +83,46 @@ class HybridSplit:
             f"{self.head_cols.size} head cols ({self.head_nnz}), "
             f"{self.head_rows.size} head rows ({self.head_row_nnz}), "
             f"residue {self.residue.nnz})"
+        )
+
+    # -- persistence: split_structure costs minutes of host scatter work on
+    #    10M+-edge matrices and is re-run per (matrix, N) benchmark row, so
+    #    it joins the pack cache (format/pack_cache.py) as a cacheable
+    #    preprocessing artifact. The dense planes compress well (they are
+    #    mostly zeros: only head/diag entries are populated). --
+    def save(self, path) -> None:
+        np.savez_compressed(
+            Path(path),
+            dims=np.array([self.m, self.k, self.nnz], dtype=np.int64),
+            diag_offsets=self.diag_offsets,
+            diag_vals=self.diag_vals,
+            head_cols=self.head_cols,
+            head_dense=self.head_dense,
+            head_rows=self.head_rows,
+            head_rows_dense=self.head_rows_dense,
+            residue_rows=self.residue.rows,
+            residue_cols=self.residue.cols,
+            residue_vals=self.residue.vals,
+        )
+
+    @staticmethod
+    def load(path) -> "HybridSplit":
+        z = np.load(Path(path))
+        m, k, nnz = (int(x) for x in z["dims"])
+        return HybridSplit(
+            m=m,
+            k=k,
+            nnz=nnz,
+            diag_offsets=z["diag_offsets"],
+            diag_vals=z["diag_vals"],
+            head_cols=z["head_cols"],
+            head_dense=z["head_dense"],
+            head_rows=z["head_rows"],
+            head_rows_dense=z["head_rows_dense"],
+            residue=COOMatrix(
+                (m, k), z["residue_rows"], z["residue_cols"],
+                z["residue_vals"],
+            ),
         )
 
 
@@ -285,7 +332,13 @@ class HybridSpmmPlan:
         residue_fmt: Optional[str] = None,
         backend: str = "auto",
         dia_backend: str = "auto",
+        pack_cache=None,
+        cache_name: Optional[str] = None,
     ):
+        """``pack_cache``/``cache_name``: optional ``PackCache`` routing for
+        the residue pack (cache_name must be unique per split — e.g.
+        ``f"{matrix}@n{n}-residue"`` — the cache's content fingerprint
+        protects non-trust_name callers either way)."""
         import jax
         import jax.numpy as jnp
 
@@ -310,7 +363,11 @@ class HybridSpmmPlan:
         self.residue_fmt = residue_fmt
         self.residue_config = residue_config
 
-        if residue_fmt == "mxu":
+        if pack_cache is not None and cache_name is not None:
+            packed = pack_cache.get_or_pack(
+                cache_name, split.residue, residue_config, residue_fmt
+            )
+        elif residue_fmt == "mxu":
             packed = pack_mxu(split.residue, residue_config)
         elif residue_fmt == "edge":
             from sextans_tpu.format.pack_edge import pack_edge

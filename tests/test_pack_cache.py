@@ -100,3 +100,82 @@ def test_correct_result_through_disk_cache(tmp_path):
 
     want = golden_spmm(CSRMatrix.from_coo(coo), b, 1.0, 0.0, None)
     np.testing.assert_allclose(np.asarray(plan(b)), want, rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_split_save_load_round_trip(tmp_path):
+    from sextans_tpu.ops.hybrid import HybridSplit, split_structure
+
+    coo = _coo(seed=7)
+    split = split_structure(coo, n=16)
+    path = tmp_path / "split.npz"
+    split.save(path)
+    back = HybridSplit.load(path)
+    assert (back.m, back.k, back.nnz) == (split.m, split.k, split.nnz)
+    np.testing.assert_array_equal(back.diag_offsets, split.diag_offsets)
+    np.testing.assert_array_equal(back.diag_vals, split.diag_vals)
+    np.testing.assert_array_equal(back.head_cols, split.head_cols)
+    np.testing.assert_array_equal(back.head_dense, split.head_dense)
+    np.testing.assert_array_equal(back.head_rows, split.head_rows)
+    np.testing.assert_array_equal(
+        back.head_rows_dense, split.head_rows_dense
+    )
+    np.testing.assert_array_equal(back.residue.rows, split.residue.rows)
+    np.testing.assert_array_equal(back.residue.vals, split.residue.vals)
+
+
+def test_get_or_split_disk_round_trip(tmp_path):
+    coo = _coo(seed=9)
+    cache = PackCache(root=tmp_path)
+    s1 = cache.get_or_split("t", coo, n=32)
+    assert cache.misses == 1
+    s2 = cache.get_or_split("t", coo, n=32)
+    assert cache.hits == 1 and s2 is s1
+    fresh = PackCache(root=tmp_path)
+    s3 = fresh.get_or_split("t", coo, n=32)
+    assert fresh.disk_hits == 1
+    assert s3.summary() == s1.summary()
+    # a different n is a different decomposition key
+    fresh.get_or_split("t", coo, n=512)
+    assert fresh.misses == 1
+
+
+def test_get_or_split_version_invalidates(tmp_path, monkeypatch):
+    import sextans_tpu.ops.hybrid as hybrid_mod
+
+    coo = _coo(seed=9)
+    cache = PackCache(root=tmp_path)
+    cache.get_or_split("t", coo, n=32)
+    monkeypatch.setattr(hybrid_mod, "SPLIT_VERSION", 9999)
+    fresh = PackCache(root=tmp_path)
+    fresh.get_or_split("t", coo, n=32)
+    assert fresh.misses == 1 and fresh.disk_hits == 0
+
+
+def test_hybrid_plan_residue_through_cache(tmp_path):
+    from sextans_tpu.ops.hybrid import HybridSpmmPlan, split_structure
+    from sextans_tpu.format.csr import CSRMatrix
+    from sextans_tpu.ops.golden import golden_spmm
+
+    coo = _coo(seed=11)
+    split = split_structure(coo, n=16)
+    cache = PackCache(root=tmp_path)
+    cfg = CFG
+    plan = HybridSpmmPlan(
+        split, 16, backend="xla", residue_config=cfg, residue_fmt="vpu",
+        pack_cache=cache, cache_name="t@n16-residue"
+    )
+    assert cache.misses == 1
+    b = np.ones((coo.shape[1], 16), np.float32)
+    want = golden_spmm(CSRMatrix.from_coo(coo), b, 1.0, 0.0, None)
+    np.testing.assert_allclose(
+        np.asarray(plan(b, 1.0, 0.0, None)), want, rtol=1e-5, atol=1e-5
+    )
+    # second build hits the cache (memory or disk) instead of re-packing
+    plan2 = HybridSpmmPlan(
+        split, 16, backend="xla", residue_config=cfg, residue_fmt="vpu",
+        pack_cache=cache, cache_name="t@n16-residue"
+    )
+    assert cache.misses == 1
+    np.testing.assert_allclose(
+        np.asarray(plan2(b, 1.0, 0.0, None)), want, rtol=1e-5, atol=1e-5
+    )
