@@ -296,6 +296,26 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         )
         if fmt == "hybrid":
             split = cand
+            # REVERSE store challenge: a stored hybrid winner can also be
+            # stale — round-3's mac_econ N=16 row froze a 1.6 GFLOPS hybrid
+            # decision the fixed gate would never make again. When the
+            # model's best SINGLE-engine prediction is >=2x the stored
+            # measured GFLOPS, clear `stored` so the measured
+            # hybrid-vs-blocked race below re-decides (the winner only
+            # overwrites the store if it measures strictly better).
+            if (
+                use_autotune and stored is not None and stored_gf
+                and coo.nnz <= 8_000_000
+            ):
+                blocked_cost = _cb(coo_for_tuning, n=n)[0].predicted_cost
+                blocked_gf = (
+                    2.0 * n * (coo.nnz + m) / (blocked_cost / 0.94e9) / 1e9
+                )
+                if blocked_gf >= 2.0 * stored_gf:
+                    stored = None
+                    log(f"  reverse store challenge: blocked model "
+                        f"{blocked_gf:.0f} GF vs stored hybrid "
+                        f"{stored_gf:.0f} GF -> re-racing")
         elif challenge:
             if cand is not None and dense_cover >= 0.3:
                 h_cost = hybrid_cost(cand, n=n)
