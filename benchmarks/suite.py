@@ -570,8 +570,15 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 [np.arange(s, e, dtype=np.int64) for s, e in blocks])
 
             def _fetch(out):
-                return np.concatenate(
-                    [np.asarray(out[s:e]) for s, e in blocks])
+                # single device-side gather + one small transfer (a
+                # per-block lax.slice would compile 64 distinct programs)
+                if isinstance(out, np.ndarray):
+                    return out[rows_s]
+                import jax.numpy as jnp
+
+                return np.asarray(
+                    jnp.take(out, jnp.asarray(rows_s, dtype=jnp.int32),
+                             axis=0))
 
             t_v = time.perf_counter()
             got = _fetch(got_dev)
