@@ -139,6 +139,54 @@ def test_store_challenge_reopens_hybrid_gate(tmp_path, monkeypatch):
     assert rec["verify"] == "pass"
 
 
+def test_csr_take_rows_matches_naive():
+    from benchmarks.suite import _csr_take_rows
+    from sextans_tpu.format.csr import CSRMatrix
+
+    coo = fem_like(800, dofs=3, neighbors=5, seed=21)
+    csr = CSRMatrix.from_coo(coo)
+    rows = np.array([0, 3, 3, 17, 799, 798, 400], dtype=np.int64)
+    sub = _csr_take_rows(csr, rows)
+    assert sub.shape == (rows.size, 800)
+    dense = np.zeros(coo.shape, np.float32)
+    dense[coo.rows, coo.cols] = coo.vals
+    sub_dense = np.zeros(sub.shape, np.float32)
+    for i in range(rows.size):
+        lo, hi = sub.indptr[i], sub.indptr[i + 1]
+        sub_dense[i, sub.indices[lo:hi]] = sub.vals[lo:hi]
+    np.testing.assert_array_equal(sub_dense, dense[rows])
+
+
+def test_verify_sample_blocks_deterministic_and_bounded():
+    from benchmarks.suite import _verify_sample_blocks
+
+    b1 = _verify_sample_blocks(525625)
+    b2 = _verify_sample_blocks(525625)
+    assert b1 == b2  # deterministic (seeded jitter)
+    assert all(0 <= s < e <= 525625 for s, e in b1)
+    starts = [s for s, _ in b1]
+    assert starts == sorted(starts)
+    # strata span the full M range, not just a prefix
+    assert b1[0][0] < 525625 // 8 and b1[-1][1] > 525625 * 7 // 8
+    # tiny matrix degenerates gracefully
+    assert _verify_sample_blocks(50) == [(0, 50)]
+
+
+def test_run_one_sampled_verify(monkeypatch):
+    """Huge-output rows verify a stratified row sample (the full fetch +
+    full f64 oracle starved the 1-CPU host for tens of minutes)."""
+    from benchmarks import suite as suite_mod
+
+    coo = fem_like(1200, dofs=3, neighbors=5, bandwidth=80, seed=22)
+    monkeypatch.setattr(suite_mod, "VERIFY_SAMPLE_BYTES", 1 << 10)
+    rec = suite_mod.run_one(
+        "tiny_sampled", coo, 16, backend="xla", use_autotune=False, rp_time=2
+    )
+    assert rec["verify"] == "pass"
+    assert 0 < rec["verify_rows"] <= 1200
+    assert "max_abs_vs_f64_ulp" in rec
+
+
 def test_load_covered_skips_only_healthy_rows(tmp_path):
     """Coverage-first budgeting: a canonical row counts as covered only if
     it has a timing AND its canary was healthy; error rows and contended
