@@ -40,18 +40,40 @@ def better(cand, prev):
     return cand[0]["gflops"] > prev[0]["gflops"]
 
 
-def main(paths):
+def main(paths, merged_out=None):
     best = {}
     for p in paths:
         doc = json.load(open(p))
-        ses = doc.get("session", {})
+        doc_ses = doc.get("session", {})
         for r in doc.get("results", []):
             if "gflops" not in r:
                 continue
+            # merged docs carry per-row session provenance; fall back to
+            # the doc-level session for raw pass files
+            ses = r.get("session", doc_ses)
             key = (r["matrix"], r["n"])
             prev = best.get(key)
             if prev is None or better((r, ses, p), prev):
                 best[key] = (r, ses, p)
+
+    if merged_out:
+        from datetime import datetime, timezone
+
+        rows = []
+        for (mname, n), (r, ses, p) in sorted(best.items()):
+            row = dict(r)
+            row.setdefault("session", ses)
+            row["source_file"] = str(p)
+            rows.append(row)
+        with open(merged_out, "w") as f:
+            json.dump(
+                {
+                    "merged_at": datetime.now(timezone.utc).isoformat(),
+                    "merged_from": [str(p) for p in paths],
+                    "results": rows,
+                },
+                f, indent=1,
+            )
 
     ns = sorted({k[1] for k in best})
     mats = sorted({k[0] for k in best})
@@ -80,6 +102,8 @@ def main(paths):
                 # the amortized wall (fixed costs included) was published —
                 # the true kernel time can only be faster
                 flag += " †"
+            if r.get("verify_rows"):
+                flag += " §"
             cells.append(f"{r['gflops']:.0f}{flag}")
             u = r.get("max_abs_vs_f64_ulp")
             if u is not None and (worst_ulp is None or u > worst_ulp):
@@ -96,6 +120,11 @@ def main(paths):
               "conservative bound that includes fixed dispatch costs — the "
               "kernel itself can only be faster.")
         print()
+    if any(e[0].get("verify_rows") for e in best.values()):
+        print("§ verified on a deterministic stratified row sample "
+              "(full C exceeds the 512 MB fetch budget of the 1-CPU host; "
+              "the error columns cover the sampled rows).")
+        print()
     for p in paths:
         doc = json.load(open(p))
         ses = doc.get("session", {})
@@ -108,4 +137,10 @@ def main(paths):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    argv = sys.argv[1:]
+    out = None
+    if "--merged-out" in argv:
+        i = argv.index("--merged-out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    main(argv, merged_out=out)
