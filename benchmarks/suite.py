@@ -582,8 +582,21 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
 
             t_v = time.perf_counter()
             got = _fetch(got_dev)
+            # restrict the oracle to the columns the sampled rows touch:
+            # converting the full (K, N) B to f64 costs gigabytes of
+            # allocation on rows this size for entries the sliced A never
+            # reads
+            sub = _csr_take_rows(csr, rows_s)
+            touched = np.unique(sub.indices)
+            from sextans_tpu.format.csr import CSRMatrix as _CSR
+
+            sub = _CSR(
+                (sub.shape[0], int(touched.size)), sub.indptr,
+                np.searchsorted(touched, sub.indices).astype(np.int32),
+                sub.vals,
+            )
             exact = golden_spmm_exact(
-                _csr_take_rows(csr, rows_s), b, alpha, beta, c[rows_s])
+                sub, b[touched], alpha, beta, c[rows_s])
             rec["verify_rows"] = int(rows_s.size)
             log(f"  verify: sampled {len(blocks)} blocks / {rows_s.size} "
                 f"rows ({m * n * 4 / 1e6:.0f} MB full C) in "
