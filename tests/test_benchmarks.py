@@ -139,6 +139,52 @@ def test_store_challenge_reopens_hybrid_gate(tmp_path, monkeypatch):
     assert rec["verify"] == "pass"
 
 
+def test_reverse_store_challenge_reraces_stale_hybrid(tmp_path, monkeypatch):
+    """A stored slow HYBRID winner is cleared for re-racing when the model's
+    best single-engine prediction is >=2x its stored GFLOPS (round-3: a
+    frozen 1.6 GFLOPS hybrid decision on mac_econ N=16)."""
+    import contextlib
+    import io
+
+    from benchmarks import suite as suite_mod
+    from sextans_tpu.format.coo import COOMatrix
+    from sextans_tpu.utils.autotune import ConfigStore
+    from sextans_tpu.utils.config import SpmmConfig
+
+    # banded matrix with decent diagonal cover so a hybrid split exists
+    rng = np.random.default_rng(5)
+    m = 20000
+    diag = np.arange(m, dtype=np.int64)
+    lr = rng.integers(0, m, m * 3)
+    lc = np.clip(lr + rng.integers(-30, 31, m * 3), 0, m - 1)
+    rows = np.concatenate([diag, lr])
+    cols = np.concatenate([diag, lc])
+    lin = rows * m + cols
+    _, keep = np.unique(lin, return_index=True)
+    coo = COOMatrix((m, m), rows[keep].astype(np.int32),
+                    cols[keep].astype(np.int32),
+                    np.ones(keep.size, np.float32))
+
+    store = ConfigStore(tmp_path / "tuned.json")
+    # a frozen, absurdly slow hybrid winner
+    store.put("revchal|n=16", SpmmConfig(), fmt="hybrid", gflops=0.01)
+
+    import sextans_tpu.utils.timing as timing_mod
+
+    monkeypatch.setattr(
+        timing_mod, "time_repeat",
+        lambda plan, b, a, be, c, times=1, detail=False:
+            (1e-3, {"method": "differential", "times": times})
+            if detail else 1e-3)
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rec = suite_mod.run_one(
+            "revchal", coo, 16, "xla", True, verify_gate=True, store=store,
+        )
+    assert "reverse store challenge" in err.getvalue()
+    assert rec["verify"] == "pass"
+
+
 def test_csr_take_rows_matches_naive():
     from benchmarks.suite import _csr_take_rows
     from sextans_tpu.format.csr import CSRMatrix
