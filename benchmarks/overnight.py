@@ -57,13 +57,16 @@ def merge(pass_files, out_path):
                 continue
             key = (r["matrix"], r["n"])
             cand = dict(r)
-            cand["session"] = ses
-            cand["pass_file"] = str(p)
+            # merged canonical docs (seeded via --also-merge) carry the
+            # session on each row; raw pass files carry it on the doc —
+            # never clobber row-level provenance with the (empty) doc header
+            cand["session"] = r.get("session", ses)
+            cand.setdefault("pass_file", str(p))
             prev = best.get(key)
             if prev is None:
                 best[key] = cand
                 continue
-            ch = is_healthy(cand, ses)
+            ch = is_healthy(cand, cand["session"])
             ph = is_healthy(prev, prev["session"])
             if (ch and not ph) or (
                 ch == ph and cand["gflops"] > prev["gflops"]
@@ -99,6 +102,10 @@ def main(argv=None):
                          "persist; later passes skip re-racing)")
     ap.add_argument("--extra", nargs="*", default=[],
                     help="extra args forwarded to suite.py")
+    ap.add_argument("--also-merge", nargs="*", default=[],
+                    help="extra canonical/merged result files folded into "
+                         "every merge (e.g. a previous round's results so "
+                         "coverage-first passes skip its healthy rows)")
     ap.add_argument("--refine", action="store_true",
                     help="re-time rows that already have a healthy canonical "
                          "sample (default: coverage-first — each pass skips "
@@ -120,6 +127,10 @@ def main(argv=None):
     nums = [int(m.group(1)) for p in existing
             if (m := re.match(r"pass_(\d+)", p.stem))]
     i = max(nums, default=0)
+    if args.also_merge or existing:
+        # refresh the merge target up front so pass 1's --skip-covered set
+        # already reflects prior passes and any --also-merge seed rows
+        merge(list(args.also_merge) + existing, args.out)
     while time.time() < deadline and i < args.max_passes:
         i += 1
         out = pass_dir / f"pass_{i:02d}.json"
@@ -176,7 +187,8 @@ def main(argv=None):
                 except subprocess.TimeoutExpired:
                     proc.kill()
                 break
-        merge(sorted(pass_dir.glob("pass_*.json")), args.out)
+        merge(list(args.also_merge)
+              + sorted(pass_dir.glob("pass_*.json")), args.out)
     log("done")
     return 0
 
