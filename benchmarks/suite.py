@@ -45,6 +45,10 @@ def _pack_for(coo, cfg, fmt, reorder_cols, reorder_rows=False):
     if fmt == "edge":
         return pack_edge(coo, cfg, reorder_cols=reorder_cols,
                          reorder_rows_=reorder_rows)
+    if fmt == "ell":
+        from sextans_tpu.format.pack_ell import pack_ell
+
+        return pack_ell(coo, cfg)
     return pack(coo, cfg, reorder_cols=reorder_cols,
                 reorder_rows_=reorder_rows)
 
@@ -194,6 +198,7 @@ def candidate_list(coo_for_tuning, coo, n, base_ro, first=None):
     from sextans_tpu.utils.autotune import (
         choose_config,
         choose_config_edge,
+        choose_config_ell,
         choose_config_mxu,
     )
 
@@ -202,13 +207,15 @@ def candidate_list(coo_for_tuning, coo, n, base_ro, first=None):
         ("vpu", choose_config),
         ("mxu", choose_config_mxu),
         ("edge", choose_config_edge),
+        ("ell", choose_config_ell),
     ):
         if fam not in fams:
             extra_c = chooser(coo_for_tuning, n=n, top=1)
             # racing a family the model puts >5x off the best is
             # wasted device time even when the model is rough
             if extra_c and extra_c[0].predicted_cost < 5 * best_pred:
-                cands.append((extra_c[0].config, fam, base_ro))
+                ro = base_ro if fam != "ell" else (False, False)
+                cands.append((extra_c[0].config, fam, ro))
     # hub-heavy matrices: add 2-D degree-reordered blocked candidates
     # (the round-3 lever — the hub core clusters into dense blocks;
     # only a measured race can tell whether it beats edge/hybrid)
@@ -477,7 +484,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         best_secs = None
         ro = base_ro
         for cfg_i, fmt_i, ro_i in cands:
-            if fmt_i in ("mxu", "edge") and backend in (
+            if fmt_i in ("mxu", "edge", "ell") and backend in (
                 "xla", "pallas", "pallas_interpret"
             ):
                 continue

@@ -28,6 +28,7 @@ from sextans_tpu.format.pack import (
 from sextans_tpu.format.pack_cache import PackCache
 from sextans_tpu.format.slots import slot_map
 from sextans_tpu.format.pack_edge import PackedSpMatrixEdge, pack_edge
+from sextans_tpu.format.pack_ell import PackedSpMatrixELL, pack_ell
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU, pack_mxu
 from sextans_tpu.io.mtx import MtxHeader, read_mtx, read_mtx_coo, write_mtx
 from sextans_tpu.ops.golden import golden_spmm, golden_spmm_exact, spmm_flops
@@ -67,7 +68,9 @@ __all__ = [
     "slot_map",
     "pack_mxu",
     "pack_edge",
+    "pack_ell",
     "PackedSpMatrixEdge",
+    "PackedSpMatrixELL",
     "PackedSpMatrixMXU",
     "prepare",
     "plan",

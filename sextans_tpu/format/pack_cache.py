@@ -47,6 +47,10 @@ def pack_signature(
             cfg.tile_m, cfg.window_k, cfg.block_k, cfg.group_blocks,
             int(cfg.interleave),
         )
+    elif fmt == "ell":
+        # ell_r None → deterministic cost-based choice per matrix, so the
+        # (matrix fingerprint, tile_m, ell_r) key is stable either way
+        fields = (cfg.tile_m, cfg.ell_r)
     else:
         raise ValueError(f"unknown pack format {fmt!r}")
     sig = f"{fmt}|{fields}|reorder={bool(reorder_cols)}"
@@ -64,6 +68,10 @@ def _load_fmt(path: Path, fmt: str):
         from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
 
         return PackedSpMatrixMXU.load(path)
+    if fmt == "ell":
+        from sextans_tpu.format.pack_ell import PackedSpMatrixELL
+
+        return PackedSpMatrixELL.load(path)
     from sextans_tpu.format.pack import PackedSpMatrix
 
     return PackedSpMatrix.load(path)
@@ -81,6 +89,15 @@ def _pack_fmt(coo: COOMatrix, cfg: SpmmConfig, fmt: str, reorder_cols: bool,
 
         return pack_mxu(coo, cfg, reorder_cols=reorder_cols,
                         reorder_rows_=reorder_rows)
+    if fmt == "ell":
+        from sextans_tpu.format.pack_ell import pack_ell
+
+        if reorder_cols or reorder_rows:
+            raise ValueError(
+                "ELL gather format is permutation-invariant; "
+                "reorder flags are not supported"
+            )
+        return pack_ell(coo, cfg)
     from sextans_tpu.format.pack import pack
 
     return pack(coo, cfg, reorder_cols=reorder_cols,

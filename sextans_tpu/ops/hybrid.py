@@ -373,6 +373,10 @@ class HybridSpmmPlan:
             from sextans_tpu.format.pack_edge import pack_edge
 
             packed = pack_edge(split.residue, residue_config)
+        elif residue_fmt == "ell":
+            from sextans_tpu.format.pack_ell import pack_ell
+
+            packed = pack_ell(split.residue, residue_config)
         else:
             packed = pack(split.residue, residue_config)
         self._residue_plan = SpmmPlan(packed, n, backend=backend)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from sextans_tpu.format.pack import PackedSpMatrix
 from sextans_tpu.format.pack_edge import PackedSpMatrixEdge
+from sextans_tpu.format.pack_ell import PackedSpMatrixELL
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
 from sextans_tpu.utils.config import round_up
 
@@ -74,6 +75,7 @@ class SpmmPlan:
     ):
         is_mxu = isinstance(packed, PackedSpMatrixMXU)
         is_edge = isinstance(packed, PackedSpMatrixEdge)
+        is_ell = isinstance(packed, PackedSpMatrixELL)
         if backend == "auto":
             # SEXTANS_TPU_BACKEND overrides auto-detection — the analog of the
             # reference's TAPAB env var selecting the bitstream
@@ -82,14 +84,18 @@ class SpmmPlan:
 
             on_tpu = jax.devices()[0].platform == "tpu"
             backend = os.environ.get("SEXTANS_TPU_BACKEND") or (
-                ("edge" if on_tpu else "edge_interpret")
+                "ell"  # pure XLA: one backend on every platform
+                if is_ell
+                else ("edge" if on_tpu else "edge_interpret")
                 if is_edge
                 else ("mxu" if is_mxu else "pallas")
                 if on_tpu
                 else ("mxu_interpret" if is_mxu else "xla")
             )
-        if is_mxu != (backend in ("mxu", "mxu_interpret")) or is_edge != (
-            backend in ("edge", "edge_interpret")
+        if (
+            is_mxu != (backend in ("mxu", "mxu_interpret"))
+            or is_edge != (backend in ("edge", "edge_interpret"))
+            or is_ell != (backend == "ell")
         ):
             raise ValueError(
                 f"backend {backend!r} does not match packed format "
@@ -100,7 +106,12 @@ class SpmmPlan:
         cfg = packed.config
         self.m, self.k = packed.shape
         self.n = n
-        self.tile_n = tile_n or cfg.resolve_tile_n(n)
+        if is_ell:
+            # pure-XLA gather engine: no lane-tile constraint, and padding N
+            # would inflate every gathered B row (8x at N=16)
+            self.tile_n = tile_n or n
+        else:
+            self.tile_n = tile_n or cfg.resolve_tile_n(n)
         self.n_padded = round_up(n, self.tile_n)
 
         # One-time device upload of the packed operand (edge format carries
@@ -113,6 +124,16 @@ class SpmmPlan:
         dev_key = ("dev", jax.devices()[0].id, jax.devices()[0].platform)
         if dev_key in dev_cache:
             self._dev = dev_cache[dev_key]
+        elif is_ell:
+            ph = jnp.zeros((1,), jnp.int32)
+            self._dev = (
+                jnp.asarray(packed.vals),
+                jnp.asarray(packed.cols),
+                jnp.asarray(packed.fold_rows),
+                ph,
+                ph,
+            )
+            dev_cache[dev_key] = self._dev
         else:
             self._dev = (
                 jnp.asarray(packed.vals),
@@ -139,7 +160,21 @@ class SpmmPlan:
             group_blocks=cfg.group_blocks,
         )
 
-        if backend == "xla":
+        if backend == "ell":
+            from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
+
+            ell_kwargs = dict(m_block=cfg.tile_m, m_base=packed.m_base)
+
+            def run(vals, cols_a, fold_a, _gmt, _gkw, b_p, c_p, alpha, beta,
+                    with_c=True, **_):
+                return spmm_ell_padded(
+                    vals, cols_a, fold_a, b_p, c_p, alpha, beta,
+                    with_c=with_c, **ell_kwargs,
+                )
+
+            kernel_kwargs = {}
+            extra = {}
+        elif backend == "xla":
             from sextans_tpu.ops.spmm_xla import spmm_xla_padded as run
 
             extra = {}
@@ -262,7 +297,7 @@ class SpmmPlan:
         # entirely (saves an M x N HBM read per call).
         self._jit_noc = None
         if backend in ("pallas", "pallas_interpret", "mxu", "mxu_interpret",
-                       "edge", "edge_interpret"):
+                       "edge", "edge_interpret", "ell"):
 
             def _step_noc(vals, qrow, bcol, gmt, gkw, b, alpha):
                 b_p = jnp.pad(_permute_b(b), ((0, k_padded - k), (0, n_padded - n_)))
@@ -283,13 +318,13 @@ class SpmmPlan:
                 c_p = jnp.pad(_permute_c(c), ((0, m_padded - m), (0, n_padded - n_)))
 
                 def body(_, c_acc):
-                    # XLA backend only: tie B to the loop carry so LICM cannot
+                    # Pure-XLA backends only: tie B to the loop carry so LICM cannot
                     # hoist the (loop-invariant) A@B out of the timing loop.
                     # The perturbation is ~1e-38 * |C| — absorbed by float32
                     # rounding. The Pallas kernel is an opaque call consuming
                     # the carry, so it is unhoistable as-is and skips the
                     # full-B copy this would cost per iteration.
-                    if backend == "xla":
+                    if backend in ("xla", "ell"):
                         b_i = b_p + c_acc[0:1, 0:1] * jnp.float32(1e-38)
                     else:
                         b_i = b_p

@@ -379,6 +379,66 @@ def choose_config_edge(
     return results[:top]
 
 
+# HBM-gather engine (format/pack_ell.py + ops/spmm_ell_xla.py): modeled as
+# pure bandwidth with a derating factor for XLA's gather lowering.
+# 4.0 is a deliberately pessimistic placeholder until the on-device probe
+# (benchmarks/scratch/gather_probe.py) calibrates it — the model should
+# only claim the row where even derated bandwidth beats the ~20-cycle
+# per-edge VPU floor.
+ELL_GATHER_FACTOR = 4.0
+ELL_SCAN_STEP_CYCLES = 3000.0  # lax.map step dispatch overhead
+
+
+def choose_config_ell(
+    coo: COOMatrix,
+    base: SpmmConfig = SpmmConfig(),
+    tile_ms: Sequence[int] = (8192, 16384, 32768, 65536),
+    top: int = 1,
+    n: int = 512,
+) -> List[TuneResult]:
+    """Analytic config choice for the HBM-gather ELL engine; best first.
+
+    Cost = modeled gather traffic (format/pack_ell.ell_traffic_bytes, incl.
+    pad-slot fetches and hub-row fold) derated by ELL_GATHER_FACTOR, plus
+    scan-step overhead. Candidates whose slot inflation would make
+    ``pack_ell`` refuse are dropped here so the race never wastes a pack."""
+    from sextans_tpu.format.pack_ell import (
+        DEFAULT_MAX_BYTES_PER_NNZ,
+        choose_slots_per_row,
+        ell_traffic_bytes,
+    )
+    from sextans_tpu.utils.config import round_up
+
+    m = max(coo.shape[0], 1)
+    nnz = max(coo.nnz, 1)
+    deg = np.bincount(coo.rows, minlength=m).astype(np.int64)
+    r = choose_slots_per_row(coo, n=n)
+    chunks = np.maximum(-(-deg // r), (deg > 0).astype(np.int64))
+    virt = int(np.maximum(chunks - 1, 0).sum())
+    m_total = m + virt
+    base_bytes = ell_traffic_bytes(deg, r, n)
+    results = []
+    for tm in tile_ms:
+        m_padded = round_up(max(m_total, 1), tm)
+        if (
+            8.0 * m_padded * r / nnz > DEFAULT_MAX_BYTES_PER_NNZ
+            and 8 * m_padded * r > (1 << 20)
+        ):
+            continue  # pack_ell would refuse this inflation
+        pad_rows = m_padded - m_total
+        row_bytes = max(4 * n, 256)
+        cost = (
+            (base_bytes + pad_rows * r * (row_bytes + 8.0))
+            / BYTES_PER_CYCLE
+            * ELL_GATHER_FACTOR
+            + (m_padded // tm) * ELL_SCAN_STEP_CYCLES
+        )
+        cfg = base.with_(tile_m=tm, ell_r=r)
+        results.append(TuneResult(cfg, cost, fmt="ell"))
+    results.sort(key=lambda t: t.predicted_cost)
+    return results[:top]
+
+
 def choose_backend(
     coo: COOMatrix,
     n: int = 512,
@@ -393,7 +453,8 @@ def choose_backend(
     vpu = choose_config(coo, base, top=max(top, 1), n=n)
     mxu = choose_config_mxu(coo, base, top=max(top, 1), n=n)
     edge = choose_config_edge(coo, base, top=max(top, 1), n=n)
-    merged = sorted(vpu + mxu + edge, key=lambda r: r.predicted_cost)
+    ell = choose_config_ell(coo, base, top=max(top, 1), n=n)
+    merged = sorted(vpu + mxu + edge + ell, key=lambda r: r.predicted_cost)
     return merged[:top]
 
 
@@ -423,6 +484,7 @@ def autotune(
     cands = choose_config(coo, base, block_ks, top=candidates, n=n)
     cands += choose_config_mxu(coo, base, top=max(1, candidates - 1), n=n)
     cands += choose_config_edge(coo, base, top=1, n=n)
+    cands += choose_config_ell(coo, base, top=1, n=n)
     m, k = coo.shape
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
@@ -437,6 +499,11 @@ def autotune(
                 plan = SpmmPlan(packed, n, backend="auto")
             elif cand.fmt == "edge":
                 packed = pack_edge(coo, cand.config)
+                plan = SpmmPlan(packed, n, backend="auto")
+            elif cand.fmt == "ell":
+                from sextans_tpu.format.pack_ell import pack_ell
+
+                packed = pack_ell(coo, cand.config)
                 plan = SpmmPlan(packed, n, backend="auto")
             else:
                 packed = pack(coo, cand.config)

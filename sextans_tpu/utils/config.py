@@ -121,6 +121,10 @@ class SpmmConfig:
     # otherwise-serial register FMA chain (measured ~100 cycles/edge at
     # L=1 on v5e: latency-bound). L=1 packs with zero run padding.
     edge_lanes: int = 1
+    # ell_r — slots per row of the ELL gather format (format/pack_ell.py +
+    # ops/spmm_ell_xla.py); None → cost-based choice from the degree
+    # histogram at pack time (choose_slots_per_row).
+    ell_r: Optional[int] = None
     # edge_masked — select away pad-slot contributions in the edge kernel
     # (one vselect per edge) so non-finite B values cannot leak NaN through
     # 0*Inf at padding; off by default (finite-B precondition documented in
@@ -148,6 +152,8 @@ class SpmmConfig:
             raise ValueError("edge_lanes must be 1, 2, 4, or 8")
         if self.edge_chunk % self.edge_lanes != 0:
             raise ValueError("edge_chunk must be a multiple of edge_lanes")
+        if self.ell_r is not None and self.ell_r < 1:
+            raise ValueError("ell_r must be >= 1")
 
     def validate_vpu(self) -> None:
         """Extra constraints of the VPU block format (format/pack.py +
