@@ -44,6 +44,8 @@ def slot_map(
         return _slots_mxu(coo, config)
     if fmt == "edge":
         return _slots_edge(coo, config)
+    if fmt == "ell":
+        return _slots_ell(coo, config)
     raise ValueError(f"unknown pack format {fmt!r}")
 
 
@@ -162,6 +164,29 @@ def _slots_mxu(coo, config):
         + (dst_slot[blk] * bk + kk_s) * MSLAB
         + mm_s
     )
+    out = np.empty(coo.nnz, dtype=np.int64)
+    out[order] = flat
+    return out
+
+
+def _slots_ell(coo, config):
+    """ELL gather format: slot = ell_row * R + position (pack_ell.py) —
+    duplicates keep distinct slots (within-row CSR positions differ)."""
+    from sextans_tpu.format.pack_ell import choose_slots_per_row
+
+    m = coo.shape[0]
+    r = config.ell_r or choose_slots_per_row(coo)
+    order = np.lexsort((coo.cols, coo.rows))
+    rows = coo.rows[order].astype(np.int64)
+    deg = np.bincount(rows, minlength=m)
+    row_start = np.concatenate(([0], np.cumsum(deg)))
+    pos = np.arange(coo.nnz, dtype=np.int64) - row_start[rows]
+    chunk = pos // r
+    n_chunks_per_row = np.maximum(-(-deg // r), (deg > 0).astype(np.int64))
+    extra = np.maximum(n_chunks_per_row - 1, 0)
+    virt_base = np.concatenate(([0], np.cumsum(extra)))
+    ell_rows = np.where(chunk == 0, rows, m + virt_base[rows] + (chunk - 1))
+    flat = ell_rows * r + (pos - chunk * r)
     out = np.empty(coo.nnz, dtype=np.int64)
     out[order] = flat
     return out

@@ -46,6 +46,10 @@ def _pack_fmt(a: COOMatrix, cfg: SpmmConfig, fmt: str):
         from sextans_tpu.format.pack_edge import pack_edge
 
         return pack_edge(a, cfg)
+    if fmt == "ell":
+        from sextans_tpu.format.pack_ell import pack_ell
+
+        return pack_ell(a, cfg)
     from sextans_tpu.format.pack import pack
 
     return pack(a, cfg)

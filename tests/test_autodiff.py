@@ -88,6 +88,7 @@ def _dense_of(coo, vals):
                        tile_n=128)),
     ("edge", SpmmConfig(tile_m=64, window_k=128, edge_chunk=128,
                         edge_lanes=2, tile_n=128)),
+    ("ell", SpmmConfig(tile_m=32, ell_r=4)),
 ])
 def test_value_op_all_grads(fmt, cfg):
     coo, b, c = _setup(seed=21)

@@ -35,6 +35,8 @@ CASES = [
     ("mxu", SpmmConfig(tile_m=256, window_k=128, block_k=16, group_blocks=2)),
     ("edge", SpmmConfig(tile_m=64, window_k=64, edge_chunk=64, edge_lanes=1)),
     ("edge", SpmmConfig(tile_m=64, window_k=64, edge_chunk=64, edge_lanes=4)),
+    ("ell", SpmmConfig(tile_m=32, ell_r=4)),
+    ("ell", SpmmConfig(tile_m=32)),  # auto slots-per-row
 ]
 
 
@@ -46,6 +48,10 @@ def test_scatter_reproduces_pack(fmt, cfg, seed):
         packed = pack(coo, cfg, impl="numpy")
     elif fmt == "mxu":
         packed = pack_mxu(coo, cfg, impl="numpy")
+    elif fmt == "ell":
+        from sextans_tpu.format.pack_ell import pack_ell
+
+        packed = pack_ell(coo, cfg)
     else:
         packed = pack_edge(coo, cfg)
     slots = slot_map(coo, cfg, fmt)
