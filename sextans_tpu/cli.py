@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend",
         default="auto",
         choices=["auto", "pallas", "xla", "pallas_interpret", "mxu",
-                 "mxu_interpret", "edge", "edge_interpret"],
+                 "mxu_interpret", "edge", "edge_interpret", "ell"],
         help="*_interpret = interpreter-mode kernels (the swsim analog); "
         "mxu = dense-slab MXU kernel; edge = structure-independent "
         "per-nonzero stream",
@@ -146,6 +146,8 @@ def main(argv=None) -> int:
         if args.backend in ("mxu", "mxu_interpret")
         else "edge"
         if args.backend in ("edge", "edge_interpret")
+        else "ell"
+        if args.backend == "ell"
         else "vpu"
     )
     if args.autotune:
@@ -160,6 +162,10 @@ def main(argv=None) -> int:
             picks = choose_config_mxu(coo, base=cfg, n=n)
         elif args.backend in ("edge", "edge_interpret"):
             picks = choose_config_edge(coo, base=cfg, n=n)
+        elif args.backend == "ell":
+            from sextans_tpu.utils.autotune import choose_config_ell
+
+            picks = choose_config_ell(coo, base=cfg, n=n)
         elif args.backend in ("pallas", "pallas_interpret", "xla"):
             picks = choose_config(coo, base=cfg, n=n)
         else:  # auto: joint choice across all kernel families
@@ -192,6 +198,15 @@ def main(argv=None) -> int:
 
         packed = pack_edge(coo, cfg, reorder_cols=args.reorder_cols,
                            reorder_rows_=args.reorder_rows)
+    elif fmt == "ell":
+        from sextans_tpu.format.pack_ell import pack_ell
+
+        if args.reorder_cols or args.reorder_rows:
+            raise SystemExit(
+                "--reorder-cols/--reorder-rows have no effect on the ELL "
+                "gather format (permutation-invariant); drop the flag"
+            )
+        packed = pack_ell(coo, cfg)
     else:
         packed = pack(coo, cfg, reorder_cols=args.reorder_cols,
                       reorder_rows_=args.reorder_rows)

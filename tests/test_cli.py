@@ -103,3 +103,15 @@ def test_cli_shards_contiguous_balance(small_mtx, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Success!" in out
+
+
+def test_cli_ell_backend(small_mtx, capsys):
+    rc = main([str(small_mtx), "16", "--backend", "ell"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Success!" in out
+
+
+def test_cli_ell_rejects_reorder(small_mtx):
+    with pytest.raises(SystemExit):
+        main([str(small_mtx), "16", "--backend", "ell", "--reorder-cols"])
