@@ -192,7 +192,37 @@ def _pack_fmt(local, config, fmt):
         from sextans_tpu.format.pack_edge import pack_edge
 
         return pack_edge(local, config)
+    if fmt == "ell":
+        from sextans_tpu.format.pack_ell import pack_ell
+
+        return pack_ell(local, config)
     return pack(local, config)
+
+
+def _pad_shard_ell(p, m_padded: int, n_virt: int):
+    """ELL twin of _pad_shard_groups: grow the slot grid with zero-slot rows
+    and the fold table with entries pointing at those zero rows (their
+    scatter-adds contribute exact zeros), so stacked shards are
+    SPMD-uniform."""
+    from sextans_tpu.format.pack_ell import PackedSpMatrixELL
+
+    extra_rows = m_padded - p.m_padded
+    pad_fold = n_virt - p.n_virt
+    if extra_rows == 0 and pad_fold == 0:
+        return p
+    # keep fold_rows sorted (engine passes indices_are_sorted=True): repeat
+    # the last real target, or row 0 when the shard has no virtual rows
+    fill = int(p.fold_rows[-1]) if p.n_virt else 0
+    return PackedSpMatrixELL(
+        m=p.m, k=p.k, nnz=p.nnz, config=p.config,
+        slots_per_row=p.slots_per_row, m_base=p.m_base,
+        cols=np.pad(p.cols, ((0, extra_rows), (0, 0))),
+        vals=np.pad(p.vals, ((0, extra_rows), (0, 0))),
+        fold_rows=np.concatenate(
+            [p.fold_rows, np.full(pad_fold, fill, np.int32)]
+        ),
+        stats=p.stats,
+    )
 
 
 def pack_sharded_k(
@@ -203,6 +233,11 @@ def pack_sharded_k(
     reduce-scatter formulation). Every shard covers the full (padded) row
     range; ``m_local`` here is the full padded M, rounded so the
     reduce-scatter chunk (m_padded / n_shards) is whole."""
+    if fmt == "ell":
+        raise ValueError(
+            "K-sharding is not supported for the ELL gather format "
+            "(whole-B gather has no K windows); use pack_sharded (row mode)"
+        )
     m, k = coo.shape
     wk, tm = config.window_k, config.tile_m
     k_local = round_up(cdiv(max(k, 1), n_shards), wk)
@@ -293,6 +328,12 @@ def pack_sharded(
     m, k = coo.shape
     tm = config.tile_m
     n_kwins = max(1, cdiv(k, config.window_k))
+    if fmt == "ell" and config.ell_r is None:
+        # pin slots-per-row from the GLOBAL degree histogram so every
+        # shard's slot grid has the same width (SPMD-uniform stacking)
+        from sextans_tpu.format.pack_ell import choose_slots_per_row
+
+        config = config.with_(ell_r=choose_slots_per_row(coo))
 
     tile_assign = None
     if balance == "nnz":
@@ -332,8 +373,32 @@ def pack_sharded(
             coo.vals[sel],
         )
         p = _pack_fmt(local, config, fmt)
-        assert p.n_kwins == n_kwins and p.n_mtiles == m_local // tm
+        if fmt != "ell":
+            assert p.n_kwins == n_kwins and p.n_mtiles == m_local // tm
         shards.append(p)
+
+    if fmt == "ell":
+        # ELL gather format: uniform slot grid = max padded rows, fold
+        # table padded with zero-contribution entries
+        m_pad_u = max(p.m_padded for p in shards)
+        n_virt_u = max(p.n_virt for p in shards)
+        padded = [_pad_shard_ell(p, m_pad_u, n_virt_u) for p in shards]
+        ph = np.zeros((n_shards, 1), np.int32)
+        return ShardedSpMatrix(
+            m=m, k=k, nnz=coo.nnz, config=config, n_shards=n_shards,
+            m_local=m_local,
+            n_mtiles_local=m_pad_u // tm,
+            n_kwins=n_kwins,
+            vals=np.stack([p.vals for p in padded]),
+            qrow=np.stack([p.cols for p in padded]),
+            bcol=np.stack([p.fold_rows for p in padded]),
+            group_mtile=ph,
+            group_kwin=ph,
+            shards=shards,
+            fmt=fmt,
+            tile_assign=tile_assign,
+            shard_nnz=shard_nnz,
+        )
 
     ngroups = max(p.n_groups for p in shards)
     padded = [_pad_shard_groups(p, ngroups) for p in shards]

@@ -69,11 +69,15 @@ class ShardedSpmmPlan:
                 backend = "mxu" if on_tpu else "mxu_interpret"
             elif fmt == "edge":
                 backend = "edge" if on_tpu else "edge_interpret"
+            elif fmt == "ell":
+                backend = "ell"  # pure XLA: one backend on every platform
             else:
                 backend = "pallas" if on_tpu else "xla"
-        if (fmt == "mxu") != (backend in ("mxu", "mxu_interpret")) or (
-            fmt == "edge"
-        ) != (backend in ("edge", "edge_interpret")):
+        if (
+            (fmt == "mxu") != (backend in ("mxu", "mxu_interpret"))
+            or (fmt == "edge") != (backend in ("edge", "edge_interpret"))
+            or (fmt == "ell") != (backend == "ell")
+        ):
             raise ValueError(
                 f"backend {backend!r} does not match sharded format {fmt!r}"
             )
@@ -83,7 +87,11 @@ class ShardedSpmmPlan:
         self.m, self.k = sharded.m, sharded.k
         self.n = n
         cfg = sharded.config
-        self.tile_n = cfg.resolve_tile_n(n)
+        if fmt == "ell":
+            # gather engine: no lane-tile constraint, no K windows
+            self.tile_n = n
+        else:
+            self.tile_n = cfg.resolve_tile_n(n)
         self.n_padded = round_up(n, self.tile_n)
 
         axis = mesh.axis_names[0]
@@ -91,7 +99,7 @@ class ShardedSpmmPlan:
         repl = P()
         m, k = self.m, self.k
         m_padded = sharded.m_padded
-        k_padded = sharded.k_padded
+        k_padded = self.k if fmt == "ell" else sharded.k_padded
         n_, n_padded = n, self.n_padded
         S, m_local = sharded.n_shards, sharded.m_local
         tile_n = self.tile_n
@@ -107,6 +115,18 @@ class ShardedSpmmPlan:
             # shard_map hands each device its (1, ...) slice — drop the axis.
             vals, qrow, bcol = vals[0], qrow[0], bcol[0]
             gmt, gkw, c_loc = gmt[0], gkw[0], c_loc[0]
+            if backend == "ell":
+                from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
+
+                # the shard's slot grid carries virtual hub rows beyond the
+                # m_local C slab: pad C in, slice the fold-resolved rows out
+                m_pad_l = vals.shape[0]
+                c_pad = jnp.pad(c_loc, ((0, m_pad_l - m_local), (0, 0)))
+                out = spmm_ell_padded(
+                    vals, qrow, bcol, b_pad, c_pad, alpha, beta,
+                    m_block=cfg.tile_m, m_base=m_local,
+                )
+                return out[:m_local][None]
             if backend == "xla":
                 from sextans_tpu.ops.spmm_xla import spmm_xla_padded
 
@@ -210,8 +230,15 @@ class ShardedSpmmPlan:
                 c_stacked = to_stacked(c_p)
 
                 def body(_, c_acc):
+                    # pure-XLA backends: tie B to the carry so LICM cannot
+                    # hoist the loop-invariant A@B out of the timing loop
+                    # (same trick as ops/plan.py; Pallas calls are opaque)
+                    if backend in ("xla", "ell"):
+                        b_i = b_p + c_acc[0, 0:1, 0:1] * jnp.float32(1e-38)
+                    else:
+                        b_i = b_p
                     return inner(
-                        vals, qrow, bcol, gmt, gkw, b_p, c_acc, alpha, beta
+                        vals, qrow, bcol, gmt, gkw, b_i, c_acc, alpha, beta
                     )
 
                 out = jax.lax.fori_loop(0, times, body, c_stacked)

@@ -259,6 +259,40 @@ def test_sharded_edge_format_matches_golden(n_shards):
     assert np.max(np.abs(got - want)) < 1e-4
 
 
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_ell_format_matches_golden(n_shards):
+    """Row-block sharding of the ELL gather format: pure-XLA engine under
+    shard_map on the CPU mesh, incl. hub rows split into virtual rows on
+    some shards only (fold-table padding must stay exact)."""
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlan
+
+    cfg = SpmmConfig(tile_m=32, ell_r=2)  # tiny R forces virtual rows
+    coo, b, c = _problem(300, 200, 64, 3000, seed=50 + n_shards)
+    sharded = pack_sharded(coo, n_shards, cfg, fmt="ell")
+    assert sharded.fmt == "ell"
+    plan = ShardedSpmmPlan(sharded, 64, backend="ell")
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(plan(b, 0.85, -2.06, c))
+    assert got.shape == (300, 64)
+    assert np.max(np.abs(got - want)) < 1e-4
+    # repeat chain
+    got2 = np.asarray(plan.repeat(b, 0.5, 0.25, c, times=2))
+    want2 = c
+    for _ in range(2):
+        want2 = golden_spmm_exact(
+            CSRMatrix.from_coo(coo), b, 0.5, 0.25, want2
+        ).astype(np.float32)
+    assert np.max(np.abs(got2 - want2)) < 1e-4
+
+
+def test_k_sharded_rejects_ell():
+    from sextans_tpu.parallel.partition import pack_sharded_k
+
+    coo, _, _ = _problem(64, 64, 16, 400, seed=3)
+    with pytest.raises(ValueError, match="ELL"):
+        pack_sharded_k(coo, 2, SpmmConfig(tile_m=32), fmt="ell")
+
+
 def test_k_sharded_edge_format_matches_golden():
     """K-sharded edge format: psum_scatter of C partials on the CPU mesh."""
     from sextans_tpu.parallel.sharding import ShardedSpmmPlanK
@@ -292,6 +326,7 @@ def _powerlaw(m, k, nnz, seed=0):
 
 @pytest.mark.parametrize("fmt,backend", [
     ("vpu", "xla"), ("mxu", "mxu_interpret"), ("edge", "edge_interpret"),
+    ("ell", "ell"),
 ])
 def test_balanced_matches_golden(fmt, backend):
     cfg = CFG.with_(tile_m=128) if fmt == "mxu" else CFG
