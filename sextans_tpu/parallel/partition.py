@@ -233,16 +233,26 @@ def pack_sharded_k(
     reduce-scatter formulation). Every shard covers the full (padded) row
     range; ``m_local`` here is the full padded M, rounded so the
     reduce-scatter chunk (m_padded / n_shards) is whole."""
-    if fmt == "ell":
-        raise ValueError(
-            "K-sharding is not supported for the ELL gather format "
-            "(whole-B gather has no K windows); use pack_sharded (row mode)"
-        )
     m, k = coo.shape
     wk, tm = config.window_k, config.tile_m
     k_local = round_up(cdiv(max(k, 1), n_shards), wk)
     # full-M rows on every shard; M padded so n_shards divides it
     m_round = round_up(max(m, 1), tm * n_shards)
+
+    if fmt == "ell" and config.ell_r is None:
+        # pin a single slots-per-row from the union of PER-SHARD degree
+        # histograms (each shard sees only its K slab of every row)
+        from sextans_tpu.format.pack_ell import choose_slots_per_row
+
+        shard_of = np.minimum(coo.cols.astype(np.int64) // k_local,
+                              n_shards - 1)
+        joint = COOMatrix(
+            (m_round * n_shards, 1),
+            (shard_of * m_round + coo.rows).astype(np.int64),
+            np.zeros(coo.nnz, np.int64),
+            np.ones(coo.nnz, np.float32),
+        )
+        config = config.with_(ell_r=choose_slots_per_row(joint))
 
     shards: List[PackedSpMatrix] = []
     for s in range(n_shards):
@@ -263,6 +273,26 @@ def pack_sharded_k(
                 coo.vals[sel],
             )
         shards.append(_pack_fmt(local, config, fmt))
+
+    if fmt == "ell":
+        m_pad_u = max(p.m_padded for p in shards)
+        n_virt_u = max(p.n_virt for p in shards)
+        padded = [_pad_shard_ell(p, m_pad_u, n_virt_u) for p in shards]
+        ph = np.zeros((n_shards, 1), np.int32)
+        return ShardedSpMatrix(
+            m=m, k=k, nnz=coo.nnz, config=config, n_shards=n_shards,
+            m_local=m_round,
+            n_mtiles_local=m_pad_u // tm,
+            n_kwins=k_local // wk,
+            vals=np.stack([p.vals for p in padded]),
+            qrow=np.stack([p.cols for p in padded]),
+            bcol=np.stack([p.fold_rows for p in padded]),
+            group_mtile=ph,
+            group_kwin=ph,
+            shards=shards,
+            mode="col",
+            fmt=fmt,
+        )
 
     ngroups = max(p.n_groups for p in shards)
     padded = [_pad_shard_groups(p, ngroups) for p in shards]

@@ -324,11 +324,15 @@ class ShardedSpmmPlanK:
                 backend = "mxu" if on_tpu else "mxu_interpret"
             elif fmt == "edge":
                 backend = "edge" if on_tpu else "edge_interpret"
+            elif fmt == "ell":
+                backend = "ell"
             else:
                 backend = "pallas" if on_tpu else "xla"
-        if (fmt == "mxu") != (backend in ("mxu", "mxu_interpret")) or (
-            fmt == "edge"
-        ) != (backend in ("edge", "edge_interpret")):
+        if (
+            (fmt == "mxu") != (backend in ("mxu", "mxu_interpret"))
+            or (fmt == "edge") != (backend in ("edge", "edge_interpret"))
+            or (fmt == "ell") != (backend == "ell")
+        ):
             raise ValueError(
                 f"backend {backend!r} does not match sharded format {fmt!r}"
             )
@@ -338,7 +342,7 @@ class ShardedSpmmPlanK:
         self.m, self.k = sharded.m, sharded.k
         self.n = n
         cfg = sharded.config
-        self.tile_n = cfg.resolve_tile_n(n)
+        self.tile_n = n if fmt == "ell" else cfg.resolve_tile_n(n)
         self.n_padded = round_up(n, self.tile_n)
 
         axis = mesh.axis_names[0]
@@ -361,7 +365,20 @@ class ShardedSpmmPlanK:
             gmt, gkw, b_loc, c_loc = gmt[0], gkw[0], b_loc[0], c_loc[0]
             zeros_c = jnp.zeros((m_padded, b_loc.shape[1]), dtype=jnp.float32)
             one, zero = jnp.float32(1.0), jnp.float32(0.0)
-            if backend == "xla":
+            if backend == "ell":
+                from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
+
+                # each chip gathers from its own K slab of B; virtual hub
+                # rows beyond the global padded M are folded before the
+                # reduce-scatter (the slice drops them)
+                zeros_l = jnp.zeros(
+                    (vals.shape[0], b_loc.shape[1]), dtype=jnp.float32
+                )
+                partial_ab = spmm_ell_padded(
+                    vals, qrow, bcol, b_loc, zeros_l, one, zero,
+                    m_block=cfg.tile_m, m_base=m_padded, with_c=False,
+                )[:m_padded]
+            elif backend == "xla":
                 from sextans_tpu.ops.spmm_xla import spmm_xla_padded
 
                 partial_ab = spmm_xla_padded(

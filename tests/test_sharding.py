@@ -285,12 +285,29 @@ def test_sharded_ell_format_matches_golden(n_shards):
     assert np.max(np.abs(got2 - want2)) < 1e-4
 
 
-def test_k_sharded_rejects_ell():
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_k_sharded_ell_format_matches_golden(n_shards):
+    """K-sharded ELL: each chip gathers from its own B K-slab, partials
+    psum_scatter over the mesh; hub-row fold runs before the reduction."""
     from sextans_tpu.parallel.partition import pack_sharded_k
+    from sextans_tpu.parallel.sharding import ShardedSpmmPlanK
 
-    coo, _, _ = _problem(64, 64, 16, 400, seed=3)
-    with pytest.raises(ValueError, match="ELL"):
-        pack_sharded_k(coo, 2, SpmmConfig(tile_m=32), fmt="ell")
+    cfg = SpmmConfig(tile_m=32, window_k=128, ell_r=2)
+    coo, b, c = _problem(300, 500, 64, 4000, seed=60 + n_shards)
+    sharded = pack_sharded_k(coo, n_shards, cfg, fmt="ell")
+    assert sharded.mode == "col" and sharded.fmt == "ell"
+    plan = ShardedSpmmPlanK(sharded, 64, backend="ell")
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    got = np.asarray(plan(b, 0.85, -2.06, c))
+    assert got.shape == (300, 64)
+    assert np.max(np.abs(got - want)) < 1e-4
+    got2 = np.asarray(plan.repeat(b, 0.5, 0.25, c, times=2))
+    want2 = c
+    for _ in range(2):
+        want2 = golden_spmm_exact(
+            CSRMatrix.from_coo(coo), b, 0.5, 0.25, want2
+        ).astype(np.float32)
+    assert np.max(np.abs(got2 - want2)) < 1e-4
 
 
 def test_k_sharded_edge_format_matches_golden():
