@@ -113,7 +113,13 @@ def job_counts(coo: COOMatrix, tile_m: int, window_k: int) -> int:
     return cache[key]
 
 
-VMEM_BUDGET = 14 * 1024 * 1024  # ~16 MB/core minus headroom
+# Candidate gate for the analytic choosers. Tracks the MEASURED scoped-VMEM
+# envelope (utils/config.VMEM_BYTES = 98 MiB, bisected on v5e round 3 —
+# docs/DESIGN.md §8) with 2 MiB slack so a proposed config never dies at the
+# kernel guard. The old 14 MiB value predated the bisection and silently
+# excluded the big-tile/big-window configs (the ldoor-class B-restream
+# lever, edge wk=32768) from every race.
+VMEM_BUDGET = 96 * 1024 * 1024
 
 
 def vmem_estimate(cfg: SpmmConfig, tile_n: int) -> int:
@@ -140,9 +146,9 @@ def choose_config(
     coo: COOMatrix,
     base: SpmmConfig = SpmmConfig(),
     block_ks: Sequence[int] = (1, 2, 4, 8),
-    tile_ms: Sequence[int] = (512, 1024),
+    tile_ms: Sequence[int] = (512, 1024, 2048, 4096),
     tile_ns: Sequence[int] = (128, 256, 512),
-    window_ks: Sequence[int] = (2048, 4096, 8192),
+    window_ks: Sequence[int] = (2048, 4096, 8192, 16384),
     top: int = 1,
     n: int = 512,
 ) -> List[TuneResult]:
@@ -247,9 +253,9 @@ def choose_config_mxu(
     coo: COOMatrix,
     base: SpmmConfig = SpmmConfig(),
     block_ks: Sequence[int] = (32, 64, 128),
-    tile_ms: Sequence[int] = (512, 1024),
+    tile_ms: Sequence[int] = (512, 1024, 2048, 4096),
     tile_ns: Sequence[int] = (128, 256, 512),
-    window_ks: Sequence[int] = (2048, 4096),
+    window_ks: Sequence[int] = (2048, 4096, 8192),
     top: int = 1,
     n: int = 512,
 ) -> List[TuneResult]:
