@@ -29,13 +29,14 @@ from sextans_tpu.format.coo import COOMatrix
 from sextans_tpu.format.csr import CSRMatrix, CSCMatrix
 from sextans_tpu.format.pack import PackedSpMatrix, pack
 from sextans_tpu.format.pack_edge import PackedSpMatrixEdge
+from sextans_tpu.format.pack_ell import PackedSpMatrixELL
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
 from sextans_tpu.utils.config import SpmmConfig
 
 __all__ = ["spmm", "prepare", "plan"]
 
 MatrixLike = Union[
-    PackedSpMatrix, PackedSpMatrixMXU, PackedSpMatrixEdge,
+    PackedSpMatrix, PackedSpMatrixMXU, PackedSpMatrixEdge, PackedSpMatrixELL,
     COOMatrix, CSRMatrix, CSCMatrix,
 ]
 
@@ -48,7 +49,11 @@ def prepare(a: MatrixLike, config: Optional[SpmmConfig] = None) -> PackedSpMatri
     dense 2-D NumPy/JAX arrays (exact zeros dropped) — the switch-over
     surface for users arriving from other sparse stacks.
     """
-    if isinstance(a, (PackedSpMatrix, PackedSpMatrixMXU, PackedSpMatrixEdge)):
+    if isinstance(
+        a,
+        (PackedSpMatrix, PackedSpMatrixMXU, PackedSpMatrixEdge,
+         PackedSpMatrixELL),
+    ):
         return a
     cfg = config or SpmmConfig()
     if isinstance(a, (CSRMatrix, CSCMatrix)):
