@@ -196,6 +196,40 @@ def choose_slots_per_row(coo: COOMatrix, n: int = 512) -> int:
     return best_r
 
 
+def ell_bytes_per_nnz(
+    deg: np.ndarray, r: int, nnz: int, pad_rows: int = 0
+) -> float:
+    """Packed bytes per nonzero of the ELL grid over a degree histogram
+    (cols+vals = 8 B/slot; virtual hub rows counted, ``pad_rows`` is extra
+    tile_m-rounding slack). Shared by :func:`pack_ell`'s per-matrix gate
+    and the sharded packers' one-shot GLOBAL gate (parallel/partition.py):
+    a skewed matrix that packs fine globally must not be rejected because
+    one row or K slab shard is nearly empty."""
+    chunks = np.maximum(cdiv_arr(deg, r), (deg > 0).astype(np.int64))
+    n_virt = int(np.maximum(chunks - 1, 0).sum())
+    return 8.0 * (deg.shape[0] + n_virt + pad_rows) * r / max(nnz, 1)
+
+
+def check_ell_inflation(
+    deg: np.ndarray,
+    r: int,
+    nnz: int,
+    pad_rows: int = 0,
+    max_bytes_per_nnz: float = DEFAULT_MAX_BYTES_PER_NNZ,
+) -> None:
+    """Raise the pack_ell inflation ValueError from a degree histogram
+    (same absolute 1 MiB floor: tiny grids are always packable)."""
+    bpn = ell_bytes_per_nnz(deg, r, nnz, pad_rows)
+    total = bpn * max(nnz, 1)
+    if bpn > max_bytes_per_nnz and total > (1 << 20):
+        raise ValueError(
+            f"ELL pack inflation {bpn:.1f} B/nnz exceeds "
+            f"{max_bytes_per_nnz:.1f} (rows+virt+pad="
+            f"{int(total / (8 * r))}, R={r}, nnz={nnz}); "
+            f"this matrix wants the edge or block formats"
+        )
+
+
 def pack_ell(
     coo: COOMatrix,
     config: SpmmConfig = SpmmConfig(),

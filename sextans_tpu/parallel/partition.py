@@ -195,7 +195,11 @@ def _pack_fmt(local, config, fmt):
     if fmt == "ell":
         from sextans_tpu.format.pack_ell import pack_ell
 
-        return pack_ell(local, config)
+        # no per-shard inflation gate: a skewed matrix that packs fine
+        # globally must not fail because THIS shard's slab is nearly empty
+        # — pack_sharded/pack_sharded_k enforce the gate once on the
+        # global (or joint per-shard) degree histogram before packing
+        return pack_ell(local, config, max_bytes_per_nnz=float("inf"))
     return pack(local, config)
 
 
@@ -239,20 +243,34 @@ def pack_sharded_k(
     # full-M rows on every shard; M padded so n_shards divides it
     m_round = round_up(max(m, 1), tm * n_shards)
 
-    if fmt == "ell" and config.ell_r is None:
+    if fmt == "ell":
         # pin a single slots-per-row from the union of PER-SHARD degree
-        # histograms (each shard sees only its K slab of every row)
-        from sextans_tpu.format.pack_ell import choose_slots_per_row
+        # histograms (each shard sees only its K slab of every row), and
+        # apply the inflation gate ONCE on that joint histogram — the
+        # per-shard packs run ungated (an empty K slab must not reject a
+        # matrix that packs fine jointly)
+        from sextans_tpu.format.pack_ell import (
+            check_ell_inflation,
+            choose_slots_per_row,
+        )
 
         shard_of = np.minimum(coo.cols.astype(np.int64) // k_local,
                               n_shards - 1)
-        joint = COOMatrix(
-            (m_round * n_shards, 1),
-            (shard_of * m_round + coo.rows).astype(np.int64),
-            np.zeros(coo.nnz, np.int64),
-            np.ones(coo.nnz, np.float32),
+        joint_deg = np.bincount(
+            shard_of * m_round + coo.rows.astype(np.int64),
+            minlength=m_round * n_shards,
         )
-        config = config.with_(ell_r=choose_slots_per_row(joint))
+        if config.ell_r is None:
+            joint = COOMatrix(
+                (m_round * n_shards, 1),
+                (shard_of * m_round + coo.rows).astype(np.int64),
+                np.zeros(coo.nnz, np.int64),
+                np.ones(coo.nnz, np.float32),
+            )
+            config = config.with_(ell_r=choose_slots_per_row(joint))
+        check_ell_inflation(
+            joint_deg, config.ell_r, coo.nnz, pad_rows=n_shards * tm
+        )
 
     shards: List[PackedSpMatrix] = []
     for s in range(n_shards):
@@ -358,12 +376,23 @@ def pack_sharded(
     m, k = coo.shape
     tm = config.tile_m
     n_kwins = max(1, cdiv(k, config.window_k))
-    if fmt == "ell" and config.ell_r is None:
+    if fmt == "ell":
         # pin slots-per-row from the GLOBAL degree histogram so every
-        # shard's slot grid has the same width (SPMD-uniform stacking)
-        from sextans_tpu.format.pack_ell import choose_slots_per_row
+        # shard's slot grid has the same width (SPMD-uniform stacking),
+        # and apply the inflation gate ONCE globally — per-shard packs run
+        # ungated (a nearly-empty row slab must not reject a matrix that
+        # packs fine globally)
+        from sextans_tpu.format.pack_ell import (
+            check_ell_inflation,
+            choose_slots_per_row,
+        )
 
-        config = config.with_(ell_r=choose_slots_per_row(coo))
+        if config.ell_r is None:
+            config = config.with_(ell_r=choose_slots_per_row(coo))
+        check_ell_inflation(
+            np.bincount(coo.rows.astype(np.int64), minlength=m),
+            config.ell_r, coo.nnz, pad_rows=n_shards * tm,
+        )
 
     tile_assign = None
     if balance == "nnz":

@@ -410,6 +410,7 @@ def choose_config_ell(
     ``pack_ell`` refuse are dropped here so the race never wastes a pack."""
     from sextans_tpu.format.pack_ell import (
         DEFAULT_MAX_BYTES_PER_NNZ,
+        ELL_MIN_FETCH,
         choose_slots_per_row,
         ell_traffic_bytes,
     )
@@ -432,7 +433,9 @@ def choose_config_ell(
         ):
             continue  # pack_ell would refuse this inflation
         pad_rows = m_padded - m_total
-        row_bytes = max(4 * n, 256)
+        # same minimum-fetch constant as ell_traffic_bytes: recalibrating
+        # pack_ell.ELL_MIN_FETCH must move both cost terms together
+        row_bytes = max(4 * n, ELL_MIN_FETCH)
         cost = (
             (base_bytes + pad_rows * r * (row_bytes + 8.0))
             / BYTES_PER_CYCLE

@@ -310,6 +310,49 @@ def test_k_sharded_ell_format_matches_golden(n_shards):
     assert np.max(np.abs(got2 - want2)) < 1e-4
 
 
+def test_sharded_ell_gate_is_global_not_per_shard():
+    """A skewed matrix that packs fine globally must shard-pack fine too:
+    the inflation gate runs once on the global (row-shard) / joint
+    per-shard (K-shard) degree histogram, not per shard-local slab — a
+    nearly-empty row slab or K slab previously raised the pack_ell
+    inflation ValueError on exactly the power-law inputs ELL targets
+    (round-3 advisor, parallel/partition.py)."""
+    from sextans_tpu.parallel.partition import pack_sharded_k
+
+    rng = np.random.default_rng(7)
+    m = k = 40_000
+    # all mass in the FIRST row slab / FIRST K slab; the rest nearly empty
+    nnz = 120_000
+    rows = np.concatenate([
+        rng.integers(0, m // 8, nnz - 64),
+        rng.integers(m // 8, m, 64),  # a few strays in the empty slabs
+    ]).astype(np.int64)
+    cols = np.concatenate([
+        rng.integers(0, k // 8, nnz - 64),
+        rng.integers(k // 8, k, 64),
+    ]).astype(np.int64)
+    order = np.lexsort((cols, rows))
+    coo = COOMatrix((m, k), rows[order], cols[order],
+                    rng.standard_normal(nnz).astype(np.float32))
+    cfg = SpmmConfig(tile_m=128, window_k=4096)
+    # global pack is fine (gate would pass): sharded packs must not raise
+    for sharded in (
+        pack_sharded(coo, 8, cfg, fmt="ell"),
+        pack_sharded_k(coo, 8, cfg, fmt="ell"),
+    ):
+        assert sharded.fmt == "ell"
+    # and a matrix whose GLOBAL histogram violates the gate still raises
+    m2 = 2_000_000
+    coo2 = COOMatrix(
+        (m2, 64),
+        np.arange(0, m2, 13, dtype=np.int64),
+        np.zeros((m2 + 12) // 13, np.int64),
+        np.ones((m2 + 12) // 13, np.float32),
+    )
+    with pytest.raises(ValueError, match="inflation"):
+        pack_sharded(coo2, 8, SpmmConfig(tile_m=128, ell_r=8), fmt="ell")
+
+
 def test_k_sharded_edge_format_matches_golden():
     """K-sharded edge format: psum_scatter of C partials on the CPU mesh."""
     from sextans_tpu.parallel.sharding import ShardedSpmmPlanK
