@@ -305,6 +305,37 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     stored_gf = None
     if stored is not None and store is not None:
         stored_gf = (store.meta(key) or {}).get("gflops")
+    # BLOCKED store challenge: a stored single-engine winner can be stale
+    # against a *different* single-engine family added or re-modeled since
+    # (round 3: the ELL gather engine shipped after the scattered rows
+    # froze on 1-8 GFLOPS vpu winners — the model put ELL 8x ahead but the
+    # store short-circuited every re-run). When the model's best blocked
+    # prediction is >=2x the stored measured GFLOPS AND that family was
+    # never measured in this row's recorded race, clear `stored` so the
+    # full candidate race re-decides (the winner only overwrites the store
+    # if it measures strictly better). The race-provenance memory keeps a
+    # merely-optimistic model from burning budget every pass: one measured
+    # loss per family is remembered.
+    if (
+        hybrid == "auto" and use_autotune and stored is not None
+        and fmt != "hybrid" and stored_gf and coo.nnz <= 20_000_000
+    ):
+        from sextans_tpu.utils.autotune import choose_backend as _cb5
+
+        best_m = _cb5(coo_for_tuning, n=n, top=1)[0]
+        best_m_gf = (
+            2.0 * n * (coo.nnz + m) / (best_m.predicted_cost / 0.94e9) / 1e9
+        )
+        raced_fams = {
+            e.get("fmt")
+            for e in (store.meta(key) or {}).get("race") or []
+            if "ms" in e
+        }
+        if best_m_gf >= 2.0 * stored_gf and best_m.fmt not in raced_fams:
+            log(f"  store challenge (blocked): {best_m.fmt} model "
+                f"{best_m_gf:.0f} GF vs stored {fmt} {stored_gf:.0f} GF "
+                f"(never raced) -> re-racing")
+            stored = None
     challenge = (
         hybrid == "auto"
         and use_autotune
@@ -387,6 +418,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     c_dev = jnp.asarray(c)
 
     ro = (reorder_cols, False)  # winner's (reorder_cols, reorder_rows)
+    race_log = []  # per-candidate measured times of the LAST race that ran
     t0 = time.perf_counter()
     def _race_secs(plan_x):
         """Escalating measured time for one candidate (shared by the
@@ -399,6 +431,78 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 plan_x, b_dev, alpha, beta, c_dev, times=times_x
             )
         return secs_x
+
+    def _race_blocked(cands_r, limit=None, force_time=False):
+        """Pack + compile + measured-race single-engine candidates; returns
+        (plan, packed, cfg, fmt, ro, best_secs) for the fastest runnable
+        one. ``limit`` caps the pack budget on huge rows while keeping
+        family diversity (the model's first pick per family survives the
+        prune, then ranking order fills the rest). ``force_time`` times
+        even a single candidate (the hybrid-vs-blocked comparison needs a
+        number). Raises the last error if nothing runs."""
+        if limit is not None and len(cands_r) > limit:
+            seen_f, pruned = set(), []
+            for cand in cands_r:
+                if cand[1] not in seen_f:
+                    pruned.append(cand)
+                    seen_f.add(cand[1])
+            for cand in cands_r:
+                if len(pruned) >= limit:
+                    break
+                if cand not in pruned:
+                    pruned.append(cand)
+            cands_r = pruned[:limit]
+        do_race_r = force_time or len(cands_r) > 1
+        best = None  # (plan, packed, cfg, fmt, ro, secs)
+        last_err_r = None
+        race_log.clear()
+        for cfg_i, fmt_i, ro_i in cands_r:
+            if fmt_i in ("mxu", "edge", "ell") and backend in (
+                "xla", "pallas", "pallas_interpret"
+            ):
+                continue
+            try:
+                if pack_cache is not None:
+                    packed_i = pack_cache.get_or_pack(
+                        name, coo, cfg_i, fmt_i, ro_i[0],
+                        reorder_rows=ro_i[1],
+                    )
+                else:
+                    packed_i = _pack_for(coo, cfg_i, fmt_i, ro_i[0],
+                                         reorder_rows=ro_i[1])
+                plan_i = SpmmPlan(
+                    packed_i, n,
+                    backend=backend
+                    if backend not in ("mxu", "edge", "hybrid", "auto")
+                    else "auto",
+                )
+                plan_i(b_dev, alpha, beta, c_dev)  # compile + first run
+                if do_race_r:
+                    # adaptive repeat count (_race_secs): a fixed small T
+                    # measures only the ~40 ms dispatch+fetch RTT for fast
+                    # kernels — escalate until the chain spans >> RTT
+                    secs_i = _race_secs(plan_i)
+                    log(f"  candidate {fmt_i} bk={cfg_i.block_k} "
+                        f"tm={cfg_i.tile_m} wk={cfg_i.window_k} "
+                        f"tn={cfg_i.tile_n}: {secs_i * 1e3:.3f} ms")
+                    race_log.append(
+                        {"fmt": fmt_i, "ms": round(secs_i * 1e3, 3)}
+                    )
+                else:
+                    secs_i = 0.0
+                if best is None or secs_i < best[5]:
+                    best = (plan_i, packed_i, cfg_i, fmt_i, ro_i, secs_i)
+                if not do_race_r:
+                    break
+            except Exception as e:  # deterministic compile rejection → next
+                last_err_r = e
+                race_log.append({"fmt": fmt_i, "error": str(e)[:120]})
+                log(f"  candidate {fmt_i} bk={cfg_i.block_k} tm={cfg_i.tile_m} "
+                    f"wk={cfg_i.window_k} tn={cfg_i.tile_n} failed: "
+                    f"{str(e)[:120]}")
+        if best is None:
+            raise last_err_r if last_err_r else RuntimeError("no candidate ran")
+        return best
 
     if split is not None:
         from sextans_tpu.ops.hybrid import HybridSpmmPlan
@@ -425,23 +529,25 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             try:
                 plan(b_dev, alpha, beta, c_dev)  # compile hybrid
                 t_h = _race_secs(plan)
-                from sextans_tpu.utils.autotune import choose_backend as _cb4
-
-                alt = _cb4(coo_for_tuning, n=n, top=1)[0]
-                if pack_cache is not None:
-                    packed_a = pack_cache.get_or_pack(
-                        name, coo, alt.config, alt.fmt, reorder_cols
-                    )
-                else:
-                    packed_a = _pack_for(coo, alt.config, alt.fmt, reorder_cols)
-                plan_a = SpmmPlan(packed_a, n, backend="auto")
-                plan_a(b_dev, alpha, beta, c_dev)
-                t_a = _race_secs(plan_a)
-                log(f"  hybrid race: hybrid {t_h * 1e3:.3f} ms vs "
-                    f"{alt.fmt} {t_a * 1e3:.3f} ms")
+                # Race hybrid against the FULL single-engine candidate
+                # list, not the model's top-1 — round 3 shipped the ELL
+                # engine with zero canonical wins because this race only
+                # ever saw one blocked challenger (the model's mis-ranking
+                # is exactly why measured races exist).
+                cands_h = candidate_list(
+                    coo_for_tuning, coo, n, (reorder_cols, False)
+                )
+                (plan_a, packed_a, cfg_a, fmt_a, ro_a, t_a) = _race_blocked(
+                    cands_h, force_time=True
+                )
+                log(f"  hybrid race: hybrid {t_h * 1e3:.3f} ms vs best "
+                    f"blocked {fmt_a} {t_a * 1e3:.3f} ms")
+                race_log.insert(
+                    0, {"fmt": "hybrid", "ms": round(t_h * 1e3, 3)}
+                )
                 if t_a < t_h:
                     plan, packed = plan_a, packed_a
-                    cfg, fmt = alt.config, alt.fmt
+                    cfg, fmt, ro = cfg_a, fmt_a, ro_a
                     split = None
             except Exception as e:
                 log(f"  hybrid race alt failed: {str(e)[:100]}")
@@ -476,54 +582,16 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             cands = candidate_list(
                 coo_for_tuning, coo, n, base_ro, first=(cfg, fmt)
             )
-        # huge matrices: packing each race candidate costs minutes and
-        # gigabytes — take the first runnable candidate instead of racing
-        do_race = len(cands) > 1 and coo.nnz <= 8_000_000
-        last_err = None
-        plan = None
-        best_secs = None
-        ro = base_ro
-        for cfg_i, fmt_i, ro_i in cands:
-            if fmt_i in ("mxu", "edge", "ell") and backend in (
-                "xla", "pallas", "pallas_interpret"
-            ):
-                continue
-            try:
-                if pack_cache is not None:
-                    packed_i = pack_cache.get_or_pack(
-                        name, coo, cfg_i, fmt_i, ro_i[0],
-                        reorder_rows=ro_i[1],
-                    )
-                else:
-                    packed_i = _pack_for(coo, cfg_i, fmt_i, ro_i[0],
-                                         reorder_rows=ro_i[1])
-                plan_i = SpmmPlan(
-                    packed_i, n,
-                    backend=backend if backend not in ("mxu", "edge") else "auto",
-                )
-                plan_i(b_dev, alpha, beta, c_dev)  # compile + first run
-                if do_race:
-                    # adaptive repeat count (_race_secs): a fixed small T
-                    # measures only the ~40 ms dispatch+fetch RTT for fast
-                    # kernels — escalate until the chain spans >> RTT
-                    secs_i = _race_secs(plan_i)
-                    log(f"  candidate {fmt_i} bk={cfg_i.block_k} "
-                        f"tm={cfg_i.tile_m} wk={cfg_i.window_k} "
-                        f"tn={cfg_i.tile_n}: {secs_i * 1e3:.3f} ms")
-                else:
-                    secs_i = 0.0
-                if best_secs is None or secs_i < best_secs:
-                    plan, packed, best_secs = plan_i, packed_i, secs_i
-                    cfg, fmt, ro = cfg_i, fmt_i, ro_i
-                if not do_race:
-                    break
-            except Exception as e:  # deterministic compile rejection → next
-                last_err = e
-                log(f"  candidate {fmt_i} bk={cfg_i.block_k} tm={cfg_i.tile_m} "
-                    f"wk={cfg_i.window_k} tn={cfg_i.tile_n} failed: "
-                    f"{str(e)[:120]}")
-        if plan is None:
-            raise last_err if last_err else RuntimeError("no candidate ran")
+        # Huge matrices: packing each race candidate costs minutes and
+        # gigabytes, but taking the model's FIRST runnable candidate with
+        # no race at all (rounds 1-3) left the biggest rows on exactly the
+        # configs the model is least trustworthy about (round-3's b9e78ab
+        # showed whole candidate families silently excluded). Budgeted
+        # compromise: race a family-diverse top-3.
+        limit = None if coo.nnz <= 8_000_000 else 3
+        plan, packed, cfg, fmt, ro, best_secs = _race_blocked(
+            cands, limit=limit
+        )
     t_pack = time.perf_counter() - t0
 
     rec = {
@@ -541,6 +609,10 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         "a_bytes_per_nnz": round(packed.stats.bytes_per_nnz, 1),
         "pack_s": round(t_pack, 3),
     }
+    if race_log:
+        # measured race provenance: every family that ran (or failed) in
+        # the race that decided this row, with its candidate time
+        rec["race"] = list(race_log)
     if split is None and (ro[0] or ro[1]):
         rec["reorder"] = "2d" if ro[1] else "cols"
     if split is not None:
@@ -630,9 +702,14 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         # ulp(max|C|) <= 2e-6 (max|C| <~ 16). When it is reachable but the
         # fast kernel misses it, re-run with Kahan compensation
         # (precise=True) — a kernel knob, so the cached pack is reused.
-        if (
+        if not rec["meets_1e6_gate"] and ulp > 2e-6:
+            # No f32 kernel can hit the literal 1e-6 max-abs gate when
+            # f32 itself cannot represent the result closer than
+            # ulp(max|C|)/2 > 1e-6 — stamp the row with the evidence
+            # (c_max_abs + the ulp column above) instead of a silent false.
+            rec["gate_unreachable"] = True
+        elif (
             not rec["meets_1e6_gate"]
-            and ulp <= 2e-6
             and split is None
             and not cfg.precise
             and plan.backend in ("pallas", "mxu",
@@ -659,8 +736,19 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                     rec["meets_1e6_gate"] = True
                     rec["precise"] = True
                     log(f"  precise mode engaged: {pmax:.2e} <= 1e-6")
+                else:
+                    rec["gate_note"] = f"precise-missed:{pmax:.2e}"
             except Exception as e:
+                rec["gate_note"] = f"precise-failed:{str(e)[:60]}"
                 log(f"  precise-mode attempt failed: {str(e)[:100]}")
+        elif not rec["meets_1e6_gate"]:
+            # reachable in principle (ulp small enough) but this winner's
+            # engine has no Kahan path (hybrid composition / ELL gather /
+            # edge stream) — record why the gate stayed false
+            rec["gate_note"] = (
+                "precise-unsupported:"
+                + ("hybrid" if split is not None else plan.backend)
+            )
         if not res.passed:
             log(f"  !! verification failed: {res}")
             return rec
@@ -716,7 +804,8 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         # strictly better than the stored winner
         store.put(key, cfg, fmt=fmt, gflops=rec["gflops"],
                   backend=rec["backend"],
-                  reorder2d=bool(split is None and ro[1]))
+                  reorder2d=bool(split is None and ro[1]),
+                  race=list(race_log) or None)
     return rec
 
 
