@@ -84,7 +84,10 @@ class SpmmPlan:
 
             on_tpu = jax.devices()[0].platform == "tpu"
             backend = os.environ.get("SEXTANS_TPU_BACKEND") or (
-                "ell"  # pure XLA: one backend on every platform
+                # on TPU the Pallas chunk-gather engine replaces the XLA
+                # take (which lowers to a serialized full-latency loop
+                # there); off-TPU the XLA engine is the fast path
+                ("ell_pallas" if on_tpu else "ell")
                 if is_ell
                 else ("edge" if on_tpu else "edge_interpret")
                 if is_edge
@@ -95,7 +98,8 @@ class SpmmPlan:
         if (
             is_mxu != (backend in ("mxu", "mxu_interpret"))
             or is_edge != (backend in ("edge", "edge_interpret"))
-            or is_ell != (backend == "ell")
+            or is_ell
+            != (backend in ("ell", "ell_pallas", "ell_pallas_interpret"))
         ):
             raise ValueError(
                 f"backend {backend!r} does not match packed format "
@@ -106,7 +110,15 @@ class SpmmPlan:
         cfg = packed.config
         self.m, self.k = packed.shape
         self.n = n
-        if is_ell:
+        if backend in ("ell_pallas", "ell_pallas_interpret"):
+            # chunk-gather kernel: N panels are whole 128-lane tiles and the
+            # 4 KiB chunk shape fixes n_padded to a divisor/multiple of 1024
+            np_allowed = next(
+                (c for c in (128, 256, 512, 1024) if n <= c),
+                round_up(n, 1024),
+            )
+            self.tile_n = tile_n or np_allowed
+        elif is_ell:
             # pure-XLA gather engine: no lane-tile constraint, and padding N
             # would inflate every gathered B row (8x at N=16)
             self.tile_n = tile_n or n
@@ -170,6 +182,28 @@ class SpmmPlan:
                 return spmm_ell_padded(
                     vals, cols_a, fold_a, b_p, c_p, alpha, beta,
                     with_c=with_c, **ell_kwargs,
+                )
+
+            kernel_kwargs = {}
+            extra = {}
+        elif backend in ("ell_pallas", "ell_pallas_interpret"):
+            from sextans_tpu.ops.spmm_ell_pallas import spmm_ell_gather_padded
+
+            # SMEM holds the (ng, 8, R) chunk-index block; cap the grid
+            # step at 256 rows (ng=32) — m_block=1024 exceeds the scalar
+            # memory budget (compile failure observed on v5e)
+            ell_mb = cfg.tile_m if cfg.tile_m % 256 else 256
+            ellp_kwargs = dict(
+                m_block=ell_mb,
+                m_base=packed.m_base,
+                interpret=(backend == "ell_pallas_interpret"),
+            )
+
+            def run(vals, cols_a, fold_a, _gmt, _gkw, b_p, c_p, alpha, beta,
+                    with_c=True, **_):
+                return spmm_ell_gather_padded(
+                    vals, cols_a, fold_a, b_p, c_p, alpha, beta,
+                    with_c=with_c, **ellp_kwargs,
                 )
 
             kernel_kwargs = {}
@@ -297,7 +331,8 @@ class SpmmPlan:
         # entirely (saves an M x N HBM read per call).
         self._jit_noc = None
         if backend in ("pallas", "pallas_interpret", "mxu", "mxu_interpret",
-                       "edge", "edge_interpret", "ell"):
+                       "edge", "edge_interpret", "ell", "ell_pallas",
+                       "ell_pallas_interpret"):
 
             def _step_noc(vals, qrow, bcol, gmt, gkw, b, alpha):
                 b_p = jnp.pad(_permute_b(b), ((0, k_padded - k), (0, n_padded - n_)))

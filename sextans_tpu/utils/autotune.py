@@ -385,14 +385,61 @@ def choose_config_edge(
     return results[:top]
 
 
-# HBM-gather engine (format/pack_ell.py + ops/spmm_ell_xla.py): modeled as
-# pure bandwidth with a derating factor for XLA's gather lowering.
-# 4.0 is a deliberately pessimistic placeholder until the on-device probe
-# (benchmarks/scratch/gather_probe.py) calibrates it — the model should
-# only claim the row where even derated bandwidth beats the ~20-cycle
+# HBM-gather engine, XLA variant (ops/spmm_ell_xla.py): modeled as pure
+# bandwidth with a derating factor for XLA's gather lowering.
+# 4.0 is a deliberately pessimistic placeholder — the model should only
+# claim the row where even derated bandwidth beats the ~20-cycle
 # per-edge VPU floor.
 ELL_GATHER_FACTOR = 4.0
 ELL_SCAN_STEP_CYCLES = 3000.0  # lax.map step dispatch overhead
+
+# Pallas chunk-gather variant (ops/spmm_ell_pallas.py): one 4 KiB chunk DMA
+# per slot, scalar-issue bound. v5e calibration (940 MHz), from
+# benchmarks/scratch/ell_issue_probe.py (variant C, uniform 262k-row sweep)
+# and ell_fold_probe.py (real amazon_like packs):
+#   cycles/DMA ~ (18 + 2*ns) * depth_factor(R)
+#     ns=1 (n_pad=128): R=8 -> 19.6 meas / 20 model; R=4 -> 24.7 / 25
+#     ns=4 (n_pad=512): R=8 -> 26.5 / 26; R=4 -> 33.3 / 32.5; R=2 -> 36.4
+#   (shallow R starves the double-buffered DMA pipeline, hence the factor)
+# hub fold (XLA scatter-add): full-array copy (aliased functional update)
+#   plus ~11.6 * ns cycles per virtual row (62 ms @ 1.25M rows, ns=4).
+_ELL_PALLAS_DEPTH_FACTOR = {1: 1.7, 2: 1.4, 3: 1.3, 4: 1.25, 6: 1.1}
+ELL_PALLAS_FOLD_CYCLES_PER_NS = 11.6
+
+
+def _ell_pallas_n_pad(n: int) -> int:
+    from sextans_tpu.utils.config import round_up
+
+    for c in (128, 256, 512, 1024):
+        if n <= c:
+            return c
+    return round_up(n, 1024)
+
+
+def _ell_pallas_cycles(deg: np.ndarray, r: int, n_pad: int) -> float:
+    """Modeled cycles of one Pallas chunk-gather call at slots_per_row=r
+    (pad rows from tile_m rounding excluded — added per-candidate)."""
+    chunks = np.maximum(-(-deg // r), (deg > 0).astype(np.int64))
+    slots = int(np.maximum(chunks, 1).sum()) * r
+    virt = int(np.maximum(chunks - 1, 0).sum())
+    m = deg.shape[0]
+    panels = max(1, n_pad // 1024)
+    ns = min(n_pad, 1024) // 128
+    per_dma = max(
+        (18.0 + 2.0 * ns) * _ELL_PALLAS_DEPTH_FACTOR.get(r, 1.0),
+        4096.0 / BYTES_PER_CYCLE,
+    )
+    stream = (
+        slots * 8.0  # cols/vals
+        + (m + virt) * n_pad * 4.0  # AB write
+    )
+    cost = slots * panels * per_dma + stream / BYTES_PER_CYCLE
+    if virt:
+        # XLA scatter-add fold: aliased read+write copy of the whole
+        # padded output, plus the per-virtual-row scatter work
+        cost += (m + virt) * n_pad * 8.0 / BYTES_PER_CYCLE
+        cost += virt * ELL_PALLAS_FOLD_CYCLES_PER_NS * ns * panels
+    return cost
 
 
 def choose_config_ell(
@@ -401,13 +448,16 @@ def choose_config_ell(
     tile_ms: Sequence[int] = (8192, 16384, 32768, 65536),
     top: int = 1,
     n: int = 512,
+    engine: str = "auto",
 ) -> List[TuneResult]:
-    """Analytic config choice for the HBM-gather ELL engine; best first.
+    """Analytic config choice for the HBM-gather ELL engines; best first.
 
-    Cost = modeled gather traffic (format/pack_ell.ell_traffic_bytes, incl.
-    pad-slot fetches and hub-row fold) derated by ELL_GATHER_FACTOR, plus
-    scan-step overhead. Candidates whose slot inflation would make
-    ``pack_ell`` refuse are dropped here so the race never wastes a pack."""
+    ``engine`` selects the cost model for the variant SpmmPlan's auto
+    backend will actually run: "pallas" (chunk-gather kernel, DMA-issue
+    bound — the TPU path) or "xla" (bulk jnp.take, bandwidth model); "auto"
+    resolves by jax.default_backend(). Candidates whose slot inflation
+    would make ``pack_ell`` refuse are dropped here so the race never
+    wastes a pack."""
     from sextans_tpu.format.pack_ell import (
         DEFAULT_MAX_BYTES_PER_NNZ,
         ELL_MIN_FETCH,
@@ -416,14 +466,42 @@ def choose_config_ell(
     )
     from sextans_tpu.utils.config import round_up
 
+    if engine == "auto":
+        import jax
+
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+
     m = max(coo.shape[0], 1)
     nnz = max(coo.nnz, 1)
     deg = np.bincount(coo.rows, minlength=m).astype(np.int64)
-    r = choose_slots_per_row(coo, n=n)
+    if engine == "pallas":
+        n_pad = _ell_pallas_n_pad(max(n, 1))
+        r_cands = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+        r = min(r_cands, key=lambda rc: _ell_pallas_cycles(deg, rc, n_pad))
+        base_cycles = _ell_pallas_cycles(deg, r, n_pad)
+        panels = max(1, n_pad // 1024)
+        ns = min(n_pad, 1024) // 128
+        per_dma = max(
+            (18.0 + 2.0 * ns) * _ELL_PALLAS_DEPTH_FACTOR.get(r, 1.0),
+            4096.0 / BYTES_PER_CYCLE,
+        )
+        pad_row_cycles = r * panels * per_dma + n_pad * 4.0 / BYTES_PER_CYCLE
+        step_cycles = 0.0
+    else:
+        r = choose_slots_per_row(coo, n=n)
+        base_cycles = (
+            ell_traffic_bytes(deg, r, n) / BYTES_PER_CYCLE * ELL_GATHER_FACTOR
+        )
+        # same minimum-fetch constant as ell_traffic_bytes: recalibrating
+        # pack_ell.ELL_MIN_FETCH must move both cost terms together
+        row_bytes = max(4 * n, ELL_MIN_FETCH)
+        pad_row_cycles = (
+            r * (row_bytes + 8.0) / BYTES_PER_CYCLE * ELL_GATHER_FACTOR
+        )
+        step_cycles = ELL_SCAN_STEP_CYCLES
     chunks = np.maximum(-(-deg // r), (deg > 0).astype(np.int64))
     virt = int(np.maximum(chunks - 1, 0).sum())
     m_total = m + virt
-    base_bytes = ell_traffic_bytes(deg, r, n)
     results = []
     for tm in tile_ms:
         m_padded = round_up(max(m_total, 1), tm)
@@ -433,14 +511,10 @@ def choose_config_ell(
         ):
             continue  # pack_ell would refuse this inflation
         pad_rows = m_padded - m_total
-        # same minimum-fetch constant as ell_traffic_bytes: recalibrating
-        # pack_ell.ELL_MIN_FETCH must move both cost terms together
-        row_bytes = max(4 * n, ELL_MIN_FETCH)
         cost = (
-            (base_bytes + pad_rows * r * (row_bytes + 8.0))
-            / BYTES_PER_CYCLE
-            * ELL_GATHER_FACTOR
-            + (m_padded // tm) * ELL_SCAN_STEP_CYCLES
+            base_cycles
+            + pad_rows * pad_row_cycles
+            + (m_padded // tm) * step_cycles
         )
         cfg = base.with_(tile_m=tm, ell_r=r)
         results.append(TuneResult(cfg, cost, fmt="ell"))
