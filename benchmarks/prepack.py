@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+import os
 from pathlib import Path
 
 HERE = Path(__file__).resolve().parent
@@ -123,6 +124,10 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # enumerate ELL candidates with the TPU engine's cost model even though
+    # this process is CPU-pinned — the suite run we are warming for races
+    # the Pallas chunk-gather engine (see choose_config_ell)
+    os.environ.setdefault("SEXTANS_ELL_ENGINE", "pallas")
 
     from benchmarks.matrices import suite
     from benchmarks.suite import _gen_cached, load_covered

@@ -467,9 +467,17 @@ def choose_config_ell(
     from sextans_tpu.utils.config import round_up
 
     if engine == "auto":
-        import jax
+        # SEXTANS_ELL_ENGINE pins the model when the choosing process is
+        # not the executing one (benchmarks/prepack.py warms pack caches on
+        # a CPU-pinned process for a TPU suite run — candidate enumeration
+        # must match or every warmed ELL pack misses)
+        import os
 
-        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        engine = os.environ.get("SEXTANS_ELL_ENGINE", "")
+        if engine not in ("pallas", "xla"):
+            import jax
+
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     m = max(coo.shape[0], 1)
     nnz = max(coo.nnz, 1)
