@@ -690,11 +690,42 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         rec["verify"] = "pass" if res.passed else "FAIL"
         rec["max_abs_err"] = float(res.max_abs_err)
         rec["max_abs_vs_f64"] = float(np.abs(got - exact).max())
+        if "verify_rows" in rec:
+            # FULL-matrix guarantee for huge rows (reference checks every
+            # element, sextans-host.cpp:262-290): re-derive every C element
+            # on device against the f64 oracle and fetch only the block
+            # maxima — upgrades the sampled max_abs_vs_f64 to the exact
+            # full-matrix figure. f64 is XLA-emulated on TPU; if this
+            # session's runtime rejects it, keep the sampled verdict and
+            # record why.
+            try:
+                from sextans_tpu.utils.device_verify import device_full_check
+
+                t_fv = time.perf_counter()
+                fv = device_full_check(got_dev, csr, b, alpha, beta, c)
+                rec["max_abs_vs_f64"] = max(
+                    rec["max_abs_vs_f64"], fv["max_abs_vs_f64"]
+                )
+                rec["verify_full_device"] = True
+                exact_cmax = fv["c_max_abs"]
+                log(f"  verify: device full-matrix max_abs "
+                    f"{fv['max_abs_vs_f64']:.2e} over {fv['blocks']} blocks "
+                    f"in {time.perf_counter() - t_fv:.1f}s")
+            except Exception as e:
+                rec["verify_full_device"] = f"unavailable:{str(e)[:60]}"
+                exact_cmax = None
+                log(f"  device full verify unavailable: {str(e)[:100]}")
+        else:
+            exact_cmax = None
         rec["meets_1e6_gate"] = bool(rec["max_abs_vs_f64"] <= 1e-6)
         # ulp-normalized error (docs/ACCURACY.md): f32 cannot represent the
         # result closer than ulp(max|C|)/2, so the honest accuracy column is
         # max_abs in ulps of max|C| — carried on every canonical row.
-        cmax = float(np.abs(exact).max())
+        cmax = (
+            exact_cmax
+            if exact_cmax is not None
+            else float(np.abs(exact).max())
+        )
         ulp = float(np.spacing(np.float32(cmax))) or 1e-45
         rec["c_max_abs"] = round(cmax, 3)
         rec["max_abs_vs_f64_ulp"] = round(rec["max_abs_vs_f64"] / ulp, 2)
