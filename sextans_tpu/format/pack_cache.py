@@ -13,10 +13,15 @@ vary freely over one cached pack. On load, the *caller's* full config is
 re-attached to the packed object so those kernel knobs take effect.
 
 The cache directory defaults to ``$TMPDIR/sextans_pack_cache`` and is
-overridable via ``SEXTANS_PACK_CACHE_DIR``. Files are ordinary ``.npz``
-packs written by each format's ``save`` (load round-trip is tested in
-tests/test_pack*.py), so the cache doubles as the checkpoint/resume story
-for preprocessing.
+overridable via ``SEXTANS_PACK_CACHE_DIR``. Small packs are ordinary
+``.npz`` files written by each format's ``save`` (load round-trip is
+tested in tests/test_pack*.py). Packs above ``SEXTANS_PACK_RAW_BYTES``
+(default 32 MiB) are stored as a raw directory of ``.npy`` arrays plus a
+``meta.json`` and loaded back with ``np.load(mmap_mode="r")``: no deflate
+on write (pack values are random floats — compression wastes minutes per
+ldoor-class pack for single-digit ratios) and no inflate-copy on read
+(the device upload streams pages straight off the mapping). Either way
+the cache doubles as the checkpoint/resume story for preprocessing.
 """
 
 from __future__ import annotations
@@ -57,6 +62,105 @@ def pack_signature(
     if reorder_rows:  # appended only when set: keys of older caches survive
         sig += "|rrows=True"
     return sig
+
+
+# Packs larger than this are stored raw (npy-per-array + meta.json) and
+# memmapped on load instead of npz deflate/inflate.
+RAW_BYTES_DEFAULT = 32 << 20
+
+
+def _packed_cls(fmt: str):
+    if fmt == "edge":
+        from sextans_tpu.format.pack_edge import PackedSpMatrixEdge
+
+        return PackedSpMatrixEdge
+    if fmt == "mxu":
+        from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU
+
+        return PackedSpMatrixMXU
+    if fmt == "ell":
+        from sextans_tpu.format.pack_ell import PackedSpMatrixELL
+
+        return PackedSpMatrixELL
+    from sextans_tpu.format.pack import PackedSpMatrix
+
+    return PackedSpMatrix
+
+
+def _packed_nbytes(packed) -> int:
+    import numpy as np
+
+    return sum(
+        getattr(packed, f.name).nbytes
+        for f in dataclasses.fields(packed)
+        if isinstance(getattr(packed, f.name), np.ndarray)
+    )
+
+
+def _raw_save(packed, d: Path) -> None:
+    """Write a packed dataclass as raw .npy arrays + meta.json (atomic:
+    built in a sibling tmp dir, renamed into place)."""
+    import json
+    import shutil
+
+    import numpy as np
+
+    from sextans_tpu.format.pack import PackStats
+
+    tmp = d.with_name(d.name + f".tmp{os.getpid()}")
+    tmp.mkdir(parents=True, exist_ok=True)
+    meta = {"fields": {}, "version": 1}
+    try:
+        for f in dataclasses.fields(packed):
+            v = getattr(packed, f.name)
+            if isinstance(v, np.ndarray):
+                np.save(tmp / f"{f.name}.npy", v)
+                meta["fields"][f.name] = {"kind": "array"}
+            elif isinstance(v, SpmmConfig):
+                meta["fields"][f.name] = {
+                    "kind": "config", "value": dataclasses.asdict(v)
+                }
+            elif isinstance(v, PackStats):
+                meta["fields"][f.name] = {
+                    "kind": "stats", "value": dataclasses.asdict(v)
+                }
+            elif v is None:
+                meta["fields"][f.name] = {"kind": "none"}
+            else:
+                meta["fields"][f.name] = {"kind": "scalar", "value": v}
+        (tmp / "meta.json").write_text(json.dumps(meta))
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def _raw_load(d: Path, fmt: str):
+    """Rebuild a packed dataclass from a raw dir; arrays are memmapped."""
+    import json
+
+    import numpy as np
+
+    from sextans_tpu.format.pack import PackStats
+
+    meta = json.loads((d / "meta.json").read_text())
+    kwargs = {}
+    for name, spec in meta["fields"].items():
+        kind = spec["kind"]
+        if kind == "array":
+            kwargs[name] = np.load(d / f"{name}.npy", mmap_mode="r")
+        elif kind == "config":
+            kwargs[name] = SpmmConfig(**spec["value"])
+        elif kind == "stats":
+            kwargs[name] = PackStats(**spec["value"])
+        elif kind == "none":
+            kwargs[name] = None
+        else:
+            kwargs[name] = spec["value"]
+    return _packed_cls(fmt)(**kwargs)
 
 
 def _load_fmt(path: Path, fmt: str):
@@ -180,6 +284,15 @@ class PackCache:
             self.hits += 1
             return self._with_cfg(self._mem[mkey], cfg)
         path = self._path(fp, sig)
+        raw_dir = path.with_suffix(".raw")
+        if raw_dir.is_dir():
+            try:
+                packed = _raw_load(raw_dir, fmt)
+                self._mem[mkey] = packed
+                self.disk_hits += 1
+                return self._with_cfg(packed, cfg)
+            except Exception:
+                pass  # corrupt/partial dir: fall through
         if path.exists():
             try:
                 packed = _load_fmt(path, fmt)
@@ -190,11 +303,17 @@ class PackCache:
                 pass  # corrupt/stale file: fall through to re-pack
         self.misses += 1
         packed = _pack_fmt(coo, cfg, fmt, reorder_cols, reorder_rows)
+        raw_limit = int(
+            os.environ.get("SEXTANS_PACK_RAW_BYTES", RAW_BYTES_DEFAULT)
+        )
         try:
             self.root.mkdir(parents=True, exist_ok=True)
-            tmp = path.with_suffix(".tmp.npz")
-            packed.save(tmp)
-            os.replace(tmp, path)  # atomic: concurrent passes never corrupt
+            if _packed_nbytes(packed) > raw_limit:
+                _raw_save(packed, raw_dir)
+            else:
+                tmp = path.with_suffix(".tmp.npz")
+                packed.save(tmp)
+                os.replace(tmp, path)  # atomic: concurrent passes never corrupt
         except OSError:
             pass  # disk cache is an optimization; never fail the pack
         self._mem[mkey] = packed

@@ -179,3 +179,46 @@ def test_hybrid_plan_residue_through_cache(tmp_path):
     np.testing.assert_allclose(
         np.asarray(plan2(b, 1.0, 0.0, None)), want, rtol=1e-5, atol=1e-5
     )
+
+
+def test_raw_memmap_cache_roundtrip(tmp_path, monkeypatch):
+    """Packs above SEXTANS_PACK_RAW_BYTES go to the raw npy-dir store and
+    load back memmapped, byte-identical, for every format."""
+    import numpy as np
+
+    from sextans_tpu.format.coo import COOMatrix
+    from sextans_tpu.format.csr import CSRMatrix
+    from sextans_tpu.format.pack_cache import PackCache
+    from sextans_tpu.ops.golden import golden_spmm_exact
+    from sextans_tpu.ops.plan import SpmmPlan
+    from sextans_tpu.utils.config import SpmmConfig
+    from sextans_tpu.utils.verify import verify
+
+    monkeypatch.setenv("SEXTANS_PACK_RAW_BYTES", "1")  # force raw for all
+    coo = COOMatrix.random(300, 400, 3000, seed=11)
+    cfgs = {
+        "vpu": SpmmConfig(tile_m=64),
+        "mxu": SpmmConfig(tile_m=128, window_k=1024, block_k=128,
+                          group_blocks=2),
+        "edge": SpmmConfig(tile_m=64, edge_chunk=512),
+        "ell": SpmmConfig(tile_m=64, ell_r=4),
+    }
+    backends = {"vpu": "xla", "mxu": "mxu_interpret",
+                "edge": "edge_interpret", "ell": "ell"}
+    rng = np.random.default_rng(12)
+    b = rng.standard_normal((400, 16)).astype(np.float32)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 1.0, 0.0, None)
+    for fmt, cfg in cfgs.items():
+        cache = PackCache(tmp_path / fmt)
+        p1 = cache.get_or_pack("m", coo, cfg, fmt)
+        assert cache.misses == 1
+        raw_dirs = list((tmp_path / fmt).glob("*.raw"))
+        assert len(raw_dirs) == 1 and raw_dirs[0].is_dir(), fmt
+        # fresh cache object: disk (raw) hit, arrays byte-identical
+        cache2 = PackCache(tmp_path / fmt)
+        p2 = cache2.get_or_pack("m", coo, cfg, fmt)
+        assert cache2.disk_hits == 1, fmt
+        np.testing.assert_array_equal(p1.vals, p2.vals)
+        assert isinstance(p2.vals, np.memmap) or p2.vals.base is not None
+        got = np.asarray(SpmmPlan(p2, 16, backend=backends[fmt])(b, 1.0, 0.0))
+        assert verify(want, got).passed, fmt
