@@ -26,7 +26,8 @@ from sextans_tpu.format.pack import PackedSpMatrix, pack
 from sextans_tpu.format.pack_mxu import pack_mxu
 from sextans_tpu.utils.config import SpmmConfig, cdiv, round_up
 
-__all__ = ["ShardedSpMatrix", "pack_sharded", "pack_sharded_k"]
+__all__ = ["ShardedSpMatrix", "pack_sharded", "pack_sharded_k",
+           "pack_sharded_auto"]
 
 
 @dataclass
@@ -481,3 +482,36 @@ def pack_sharded(
         tile_assign=tile_assign,
         shard_nnz=shard_nnz,
     )
+
+
+def pack_sharded_auto(
+    coo: COOMatrix,
+    n_shards: int,
+    n: int = 512,
+    mode: str = "row",
+    base: SpmmConfig = SpmmConfig(),
+    balance: str = "contiguous",
+):
+    """Pack for a mesh with the per-shard-aware format/config choice.
+
+    Single-chip autotuning ranks by GLOBAL matrix stats; a mesh step runs
+    at the slowest shard's pace, so this entry point first resolves
+    (fmt, config) via ici_model.choose_sharded_config (max over
+    shard-LOCAL predicted costs, majority-vote family) and then packs.
+    Returns ``(sharded, choice)`` where ``choice`` carries the per-shard
+    cost breakdown for logging/provenance.
+    """
+    from sextans_tpu.parallel.ici_model import choose_sharded_config
+
+    choice = choose_sharded_config(coo, n_shards, n=n, mode=mode, base=base)
+    if mode == "row":
+        sharded = pack_sharded(
+            coo, n_shards, choice["config"], fmt=choice["fmt"],
+            balance=balance,
+        )
+    elif mode == "col":
+        sharded = pack_sharded_k(coo, n_shards, choice["config"],
+                                 fmt=choice["fmt"])
+    else:
+        raise ValueError(f"unknown shard mode {mode!r}")
+    return sharded, choice

@@ -70,13 +70,16 @@ class ShardedSpmmPlan:
             elif fmt == "edge":
                 backend = "edge" if on_tpu else "edge_interpret"
             elif fmt == "ell":
-                backend = "ell"  # pure XLA: one backend on every platform
+                # TPU: the Pallas chunk-gather engine (XLA's take
+                # serializes there); elsewhere the XLA gather engine
+                backend = "ell_pallas" if on_tpu else "ell"
             else:
                 backend = "pallas" if on_tpu else "xla"
         if (
             (fmt == "mxu") != (backend in ("mxu", "mxu_interpret"))
             or (fmt == "edge") != (backend in ("edge", "edge_interpret"))
-            or (fmt == "ell") != (backend == "ell")
+            or (fmt == "ell")
+            != (backend in ("ell", "ell_pallas", "ell_pallas_interpret"))
         ):
             raise ValueError(
                 f"backend {backend!r} does not match sharded format {fmt!r}"
@@ -87,7 +90,12 @@ class ShardedSpmmPlan:
         self.m, self.k = sharded.m, sharded.k
         self.n = n
         cfg = sharded.config
-        if fmt == "ell":
+        if backend in ("ell_pallas", "ell_pallas_interpret"):
+            self.tile_n = next(
+                (c for c in (128, 256, 512, 1024) if n <= c),
+                round_up(n, 1024),
+            )
+        elif fmt == "ell":
             # gather engine: no lane-tile constraint, no K windows
             self.tile_n = n
         else:
@@ -115,17 +123,29 @@ class ShardedSpmmPlan:
             # shard_map hands each device its (1, ...) slice — drop the axis.
             vals, qrow, bcol = vals[0], qrow[0], bcol[0]
             gmt, gkw, c_loc = gmt[0], gkw[0], c_loc[0]
-            if backend == "ell":
-                from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
-
+            if backend in ("ell", "ell_pallas", "ell_pallas_interpret"):
                 # the shard's slot grid carries virtual hub rows beyond the
                 # m_local C slab: pad C in, slice the fold-resolved rows out
                 m_pad_l = vals.shape[0]
                 c_pad = jnp.pad(c_loc, ((0, m_pad_l - m_local), (0, 0)))
-                out = spmm_ell_padded(
-                    vals, qrow, bcol, b_pad, c_pad, alpha, beta,
-                    m_block=cfg.tile_m, m_base=m_local,
-                )
+                if backend == "ell":
+                    from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
+
+                    out = spmm_ell_padded(
+                        vals, qrow, bcol, b_pad, c_pad, alpha, beta,
+                        m_block=cfg.tile_m, m_base=m_local,
+                    )
+                else:
+                    from sextans_tpu.ops.spmm_ell_pallas import (
+                        spmm_ell_gather_padded,
+                    )
+
+                    out = spmm_ell_gather_padded(
+                        vals, qrow, bcol, b_pad, c_pad, alpha, beta,
+                        m_block=cfg.tile_m if cfg.tile_m % 256 else 256,
+                        m_base=m_local,
+                        interpret=(backend == "ell_pallas_interpret"),
+                    )
                 return out[:m_local][None]
             if backend == "xla":
                 from sextans_tpu.ops.spmm_xla import spmm_xla_padded
@@ -325,13 +345,14 @@ class ShardedSpmmPlanK:
             elif fmt == "edge":
                 backend = "edge" if on_tpu else "edge_interpret"
             elif fmt == "ell":
-                backend = "ell"
+                backend = "ell_pallas" if on_tpu else "ell"
             else:
                 backend = "pallas" if on_tpu else "xla"
         if (
             (fmt == "mxu") != (backend in ("mxu", "mxu_interpret"))
             or (fmt == "edge") != (backend in ("edge", "edge_interpret"))
-            or (fmt == "ell") != (backend == "ell")
+            or (fmt == "ell")
+            != (backend in ("ell", "ell_pallas", "ell_pallas_interpret"))
         ):
             raise ValueError(
                 f"backend {backend!r} does not match sharded format {fmt!r}"
@@ -342,7 +363,15 @@ class ShardedSpmmPlanK:
         self.m, self.k = sharded.m, sharded.k
         self.n = n
         cfg = sharded.config
-        self.tile_n = n if fmt == "ell" else cfg.resolve_tile_n(n)
+        if backend in ("ell_pallas", "ell_pallas_interpret"):
+            self.tile_n = next(
+                (c for c in (128, 256, 512, 1024) if n <= c),
+                round_up(n, 1024),
+            )
+        elif fmt == "ell":
+            self.tile_n = n
+        else:
+            self.tile_n = cfg.resolve_tile_n(n)
         self.n_padded = round_up(n, self.tile_n)
 
         axis = mesh.axis_names[0]
@@ -365,19 +394,31 @@ class ShardedSpmmPlanK:
             gmt, gkw, b_loc, c_loc = gmt[0], gkw[0], b_loc[0], c_loc[0]
             zeros_c = jnp.zeros((m_padded, b_loc.shape[1]), dtype=jnp.float32)
             one, zero = jnp.float32(1.0), jnp.float32(0.0)
-            if backend == "ell":
-                from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
-
+            if backend in ("ell", "ell_pallas", "ell_pallas_interpret"):
                 # each chip gathers from its own K slab of B; virtual hub
                 # rows beyond the global padded M are folded before the
                 # reduce-scatter (the slice drops them)
                 zeros_l = jnp.zeros(
                     (vals.shape[0], b_loc.shape[1]), dtype=jnp.float32
                 )
-                partial_ab = spmm_ell_padded(
-                    vals, qrow, bcol, b_loc, zeros_l, one, zero,
-                    m_block=cfg.tile_m, m_base=m_padded, with_c=False,
-                )[:m_padded]
+                if backend == "ell":
+                    from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
+
+                    partial_ab = spmm_ell_padded(
+                        vals, qrow, bcol, b_loc, zeros_l, one, zero,
+                        m_block=cfg.tile_m, m_base=m_padded, with_c=False,
+                    )[:m_padded]
+                else:
+                    from sextans_tpu.ops.spmm_ell_pallas import (
+                        spmm_ell_gather_padded,
+                    )
+
+                    partial_ab = spmm_ell_gather_padded(
+                        vals, qrow, bcol, b_loc, zeros_l, one, zero,
+                        m_block=cfg.tile_m if cfg.tile_m % 256 else 256,
+                        m_base=m_padded, with_c=False,
+                        interpret=(backend == "ell_pallas_interpret"),
+                    )[:m_padded]
             elif backend == "xla":
                 from sextans_tpu.ops.spmm_xla import spmm_xla_padded
 
