@@ -461,6 +461,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 "xla", "pallas", "pallas_interpret"
             ):
                 continue
+            packed_i = None
             try:
                 if pack_cache is not None:
                     packed_i = pack_cache.get_or_pack(
@@ -491,7 +492,16 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 else:
                     secs_i = 0.0
                 if best is None or secs_i < best[5]:
+                    if best is not None:
+                        # dethroned candidate: release its device upload —
+                        # packed objects live on in pack_cache._mem, and a
+                        # race over 1M-row candidates otherwise accumulates
+                        # every loser's multi-GB arrays in HBM until
+                        # RESOURCE_EXHAUSTED (observed: roadnet N=512 r4)
+                        best[1].__dict__.pop("_dev_cache", None)
                     best = (plan_i, packed_i, cfg_i, fmt_i, ro_i, secs_i)
+                elif packed_i is not best[1]:
+                    packed_i.__dict__.pop("_dev_cache", None)
                 if not do_race_r:
                     break
             except Exception as e:  # deterministic compile rejection → next
@@ -500,6 +510,11 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 log(f"  candidate {fmt_i} bk={cfg_i.block_k} tm={cfg_i.tile_m} "
                     f"wk={cfg_i.window_k} tn={cfg_i.tile_n} failed: "
                     f"{str(e)[:120]}")
+                # failed candidate may still hold device buffers
+                if packed_i is not None and (
+                    best is None or packed_i is not best[1]
+                ):
+                    packed_i.__dict__.pop("_dev_cache", None)
         if best is None:
             raise last_err_r if last_err_r else RuntimeError("no candidate ran")
         return best
