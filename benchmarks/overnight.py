@@ -76,6 +76,26 @@ def merge(pass_files, out_path):
         if k not in best:
             best[k] = err
     rows = [best[k] for k in sorted(best)]
+    # Retroactive 1e-6 gate accounting (BASELINE.md north star): rows
+    # measured before the gate fields existed carry a silent
+    # meets_1e6_gate=false. Their own c_max_abs decides reachability —
+    # f32 cannot beat ulp(max|C|)/2, so ulp > 2e-6 stamps gate_unreachable
+    # with on-row evidence; otherwise the row is marked for a precise-mode
+    # re-measure rather than left silently false.
+    import numpy as _np
+
+    for r in rows:
+        if (
+            r.get("meets_1e6_gate") is False
+            and "gate_unreachable" not in r
+            and "gate_note" not in r
+            and r.get("c_max_abs")
+        ):
+            ulp = float(_np.spacing(_np.float32(r["c_max_abs"]))) or 1e-45
+            if ulp > 2e-6:
+                r["gate_unreachable"] = True
+            else:
+                r["gate_note"] = "precise-not-attempted:pre-r4-row"
     doc = {
         "merged_at": datetime.now(timezone.utc).isoformat(),
         "merged_from": [str(p) for p in pass_files],
