@@ -102,7 +102,7 @@ def main(paths, merged_out=None):
                 # the amortized wall (fixed costs included) was published —
                 # the true kernel time can only be faster
                 flag += " †"
-            if r.get("verify_rows"):
+            if r.get("verify_rows") and r.get("verify_full_device") is not True:
                 flag += " §"
             cells.append(f"{r['gflops']:.0f}{flag}")
             u = r.get("max_abs_vs_f64_ulp")
@@ -120,7 +120,11 @@ def main(paths, merged_out=None):
               "conservative bound that includes fixed dispatch costs — the "
               "kernel itself can only be faster.")
         print()
-    if any(e[0].get("verify_rows") for e in best.values()):
+    if any(
+        e[0].get("verify_rows")
+        and e[0].get("verify_full_device") is not True
+        for e in best.values()
+    ):
         print("§ verified on a deterministic stratified row sample "
               "(full C exceeds the 512 MB fetch budget of the 1-CPU host; "
               "the error columns cover the sampled rows).")
