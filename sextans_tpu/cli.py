@@ -45,10 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend",
         default="auto",
         choices=["auto", "pallas", "xla", "pallas_interpret", "mxu",
-                 "mxu_interpret", "edge", "edge_interpret", "ell"],
+                 "mxu_interpret", "edge", "edge_interpret", "ell",
+                 "ell_pallas", "ell_pallas_interpret"],
         help="*_interpret = interpreter-mode kernels (the swsim analog); "
         "mxu = dense-slab MXU kernel; edge = structure-independent "
-        "per-nonzero stream",
+        "per-nonzero stream; ell = HBM-gather (XLA take); ell_pallas = "
+        "HBM-gather via pipelined chunk DMAs (the TPU fast path)",
     )
     p.add_argument(
         "--precise",
@@ -147,7 +149,7 @@ def main(argv=None) -> int:
         else "edge"
         if args.backend in ("edge", "edge_interpret")
         else "ell"
-        if args.backend == "ell"
+        if args.backend in ("ell", "ell_pallas", "ell_pallas_interpret")
         else "vpu"
     )
     if args.autotune:
@@ -162,10 +164,13 @@ def main(argv=None) -> int:
             picks = choose_config_mxu(coo, base=cfg, n=n)
         elif args.backend in ("edge", "edge_interpret"):
             picks = choose_config_edge(coo, base=cfg, n=n)
-        elif args.backend == "ell":
+        elif args.backend in ("ell", "ell_pallas", "ell_pallas_interpret"):
             from sextans_tpu.utils.autotune import choose_config_ell
 
-            picks = choose_config_ell(coo, base=cfg, n=n)
+            picks = choose_config_ell(
+                coo, base=cfg, n=n,
+                engine="xla" if args.backend == "ell" else "pallas",
+            )
         elif args.backend in ("pallas", "pallas_interpret", "xla"):
             picks = choose_config(coo, base=cfg, n=n)
         else:  # auto: joint choice across all kernel families
