@@ -453,6 +453,15 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                     pruned.append(cand)
             cands_r = pruned[:limit]
         do_race_r = force_time or len(cands_r) > 1
+        # Race the whole-B-gather family FIRST: an ELL candidate's working
+        # set is b + c + out + carry over the FULL (K, N_pad)/(M_pad, N_pad)
+        # extents (~9 GB at 1M rows, N=512), while block formats stream B
+        # in windows. Running it while the device is emptiest keeps the
+        # peak at max-over-time instead of sum — roadnet N=512 OOMed twice
+        # when ELL ran after the blocked winners' uploads were resident.
+        cands_r = sorted(
+            cands_r, key=lambda cand: 0 if cand[1] == "ell" else 1
+        )
         best = None  # (plan, packed, cfg, fmt, ro, secs)
         last_err_r = None
         race_log.clear()
@@ -1021,6 +1030,15 @@ def main(argv=None):
                 Path(args.out).write_text(
                     json.dumps({"session": session, "results": results}, indent=1)
                 )
+            if "RESOURCE_EXHAUSTED" in str(rec.get("error", "")):
+                # a device OOM poisons this client for the rest of the
+                # process (observed: every subsequent row fails instantly,
+                # including tiny ones) — end the pass cleanly so the
+                # overnight driver starts a fresh process; --skip-covered
+                # keeps the finished rows
+                log("device OOM: ending this pass (fresh process required)")
+                stopped = True
+                break
             log(f"  N={n}: {rec.get('gflops', '-')} GFLOPS "
                 f"({rec.get('ms', '-')} ms, fmt={rec.get('fmt')}, "
                 f"bk={rec.get('block_k')}, fill={rec.get('block_fill')}, "
