@@ -212,8 +212,14 @@ def candidate_list(coo_for_tuning, coo, n, base_ro, first=None):
         if fam not in fams:
             extra_c = chooser(coo_for_tuning, n=n, top=1)
             # racing a family the model puts >5x off the best is
-            # wasted device time even when the model is rough
-            if extra_c and extra_c[0].predicted_cost < 5 * best_pred:
+            # wasted device time even when the model is rough — EXCEPT at
+            # skinny N, where the mxu family routes to the C-transposed
+            # kernel (ops/spmm_mxu_pallas.spmm_mxu_ct_padded) whose cost
+            # the slab model does not describe; N<=32 rows are cheap to
+            # time, so give it a 20x leash (VERDICT r3: the ct variant
+            # never entered any scattered N=16 race)
+            leash = 20 if (fam == "mxu" and n <= 32) else 5
+            if extra_c and extra_c[0].predicted_cost < leash * best_pred:
                 ro = base_ro if fam != "ell" else (False, False)
                 cands.append((extra_c[0].config, fam, ro))
     # hub-heavy matrices: add 2-D degree-reordered blocked candidates
