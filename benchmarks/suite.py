@@ -732,7 +732,8 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 from sextans_tpu.utils.device_verify import device_full_check
 
                 t_fv = time.perf_counter()
-                fv = device_full_check(got_dev, csr, b, alpha, beta, c)
+                # pass the kernel's own device B — no duplicate upload
+                fv = device_full_check(got_dev, csr, b_dev, alpha, beta, c)
                 rec["max_abs_vs_f64"] = max(
                     rec["max_abs_vs_f64"], fv["max_abs_vs_f64"]
                 )

@@ -41,7 +41,10 @@ def _check_block(
     r_local,  # (n_chunks, edge_chunk) i32 — row-in-block; block_rows = pad
     cols,  # (n_chunks, edge_chunk) i32 — B row per edge (0 for pads)
     vals64,  # (n_chunks, edge_chunk) f64 — edge values (0 for pads)
-    b64,  # (k, n) f64
+    b32,  # (k, n) f32 — the SAME device B the kernel used; gathered rows
+    #       are widened AFTER the gather (f32 -> f64 is exact), so no f64
+    #       copy of B ever materializes (4.5 GB at K=1M, N=512 — the
+    #       round-4 pass-3 OOM)
     c_block,  # (block_rows, n) f32 — C input rows of this block
     got_block,  # (block_rows, n) f32 — kernel output rows of this block
     alpha64,
@@ -54,18 +57,24 @@ def _check_block(
     import jax
     import jax.numpy as jnp
 
-    def chunk_sum(args):
+    def chunk_add(carry, args):
         rl, cl, vl = args
-        gathered = jnp.take(b64, cl, axis=0) * vl[:, None]  # (chunk, n) f64
+        gathered = (
+            jnp.take(b32, cl, axis=0).astype(jnp.float64) * vl[:, None]
+        )  # (chunk, n) f64 — the only f64 transient, one chunk at a time
         # pads carry vals64 == 0 and r_local == block_rows: the sentinel
         # segment is sliced away below, and 0 * B[0] is exact for finite B
-        return jax.ops.segment_sum(
+        return carry + jax.ops.segment_sum(
             gathered, rl, num_segments=block_rows + 1,
             indices_are_sorted=True,
-        )
+        ), None
 
-    partials = jax.lax.map(chunk_sum, (r_local, cols, vals64))
-    ab = jnp.sum(partials, axis=0)[:block_rows]  # (block_rows, n) f64
+    ab_full, _ = jax.lax.scan(
+        chunk_add,
+        jnp.zeros((block_rows + 1, b32.shape[1]), jnp.float64),
+        (r_local, cols, vals64),
+    )
+    ab = ab_full[:block_rows]  # (block_rows, n) f64
     exact = alpha64 * ab
     if with_c:
         exact = exact + beta64 * c_block.astype(jnp.float64)
@@ -81,14 +90,17 @@ def device_full_check(
     beta: float,
     c,  # (m, n) f32 or None
     block_rows: int = 65536,
-    edge_chunk: int = 262144,
+    edge_chunk: int = 131072,
 ) -> dict:
     """Full-matrix device-side check of ``got_dev`` against the f64 oracle.
 
     Returns ``{"max_abs_vs_f64", "c_max_abs", "blocks"}`` where
     ``max_abs_vs_f64`` is the exact full-matrix max-abs error (every
     element checked on device) and ``c_max_abs`` is max|exact| for the
-    ulp normalization. Host traffic: two scalars per M-block.
+    ulp normalization. Host traffic: two scalars per M-block. Device
+    footprint is bounded: B stays f32 (pass the kernel's own device copy
+    to avoid any duplicate), and the f64 transients are one
+    (edge_chunk, n) gather plus one (block_rows+1, n) scan carry.
     """
     import jax
     import jax.numpy as jnp
@@ -99,7 +111,7 @@ def device_full_check(
             f"got_dev must be ({m}, {n}), got {getattr(got_dev, 'shape', None)}"
         )
     with jax.enable_x64(True):
-        b64 = jnp.asarray(np.asarray(b, dtype=np.float64))
+        b32 = jnp.asarray(b, dtype=jnp.float32)
         a64 = jnp.float64(alpha)
         bt64 = jnp.float64(beta)
         with_c = c is not None and float(beta) != 0.0
@@ -144,7 +156,7 @@ def device_full_check(
                 jnp.asarray(r_local.reshape(n_chunks, edge_chunk)),
                 jnp.asarray(cols_p.reshape(n_chunks, edge_chunk)),
                 jnp.asarray(vals_p.reshape(n_chunks, edge_chunk)),
-                b64, c_blk, got_blk, a64, bt64,
+                b32, c_blk, got_blk, a64, bt64,
                 block_rows=block_rows, edge_chunk=edge_chunk,
                 with_c=with_c,
             )
