@@ -814,6 +814,11 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         if not res.passed:
             log(f"  !! verification failed: {res}")
             return rec
+        # drop the verification result buffer before the timing chain —
+        # at 1M rows x N=512 it is 2.2 GB of HBM the repeat carries need
+        # (roadnet N=512 OOMed at measure() with verify already green)
+        got_dev = None
+        del got
 
     # Adaptive repeat count: the tunnel's fixed dispatch+fetch cost needs
     # T*kernel_time >> jitter for the differential to resolve; start at
@@ -1051,6 +1056,8 @@ def main(argv=None):
                 f"bk={rec.get('block_k')}, fill={rec.get('block_fill')}, "
                 f"verify={rec.get('verify', 'skipped')}, "
                 f"maxabs_f64={rec.get('max_abs_vs_f64', '-')})")
+        if stopped:
+            break
 
     doc = {"session": session, "results": results}
     print(json.dumps(doc, indent=1))
