@@ -749,6 +749,11 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         else:
             exact_cmax = None
         rec["meets_1e6_gate"] = bool(rec["max_abs_vs_f64"] <= 1e-6)
+        # release the verification output buffer NOW — the precise-mode
+        # attempt and the timing chain below each need their own full-C
+        # working set, and at 1M rows x N=512 this buffer is 2.2 GB of HBM
+        # (roadnet N=512 OOMed in the precise attempt with verify green)
+        got_dev = None
         # ulp-normalized error (docs/ACCURACY.md): f32 cannot represent the
         # result closer than ulp(max|C|)/2, so the honest accuracy column is
         # max_abs in ulps of max|C| — carried on every canonical row.
@@ -814,10 +819,6 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         if not res.passed:
             log(f"  !! verification failed: {res}")
             return rec
-        # drop the verification result buffer before the timing chain —
-        # at 1M rows x N=512 it is 2.2 GB of HBM the repeat carries need
-        # (roadnet N=512 OOMed at measure() with verify already green)
-        got_dev = None
         del got
 
     # Adaptive repeat count: the tunnel's fixed dispatch+fetch cost needs
