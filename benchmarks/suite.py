@@ -53,6 +53,22 @@ def _pack_for(coo, cfg, fmt, reorder_cols, reorder_rows=False):
                 reorder_rows_=reorder_rows)
 
 
+def _pack_dev_bytes(packed) -> int:
+    """Exact device bytes of a packed operand's one-time upload (the arrays
+    SpmmPlan moves to HBM, ops/plan.py:150-163)."""
+    total = 0
+    for attr in ("vals", "cols", "fold_rows", "meta", "qm", "qrow", "bcol",
+                 "group_mtile", "group_kwin"):
+        a = getattr(packed, attr, None)
+        if a is not None and hasattr(a, "nbytes"):
+            total += int(a.nbytes)
+    return total
+
+
+class _AllGated(RuntimeError):
+    """Every race candidate exceeded the device-memory budget."""
+
+
 def _gen_cached(name, gen):
     """Disk-cache generated suite matrices (the 1M-row generators cost
     minutes per overnight pass; generation is deterministic per name)."""
@@ -119,6 +135,20 @@ def _csr_take_rows(csr, rows):
 HEALTHY_CANARY_MS = 0.5  # amortized nasa4704-N=512 VPU-default; healthy 0.13-0.30
 CANARY_RETRIES = 10
 CANARY_BACKOFF_S = 60.0
+
+# Device-memory budget for a race candidate's estimated peak footprint
+# (v5e: 16 GiB HBM; headroom for compiler scratch + the verify buffers).
+# Calibrated against observed runs: roadnet N=512 vpu (est ~13.2 GiB) ran,
+# ldoor N=512 mxu (est ~22 GiB) deterministically RESOURCE_EXHAUSTED.
+import os as _os
+
+HBM_BUDGET_BYTES = int(
+    float(_os.environ.get("SEXTANS_HBM_BUDGET_GB", "14.5")) * 2**30
+)
+
+
+def round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
 
 
 def make_fast_canary():
@@ -470,7 +500,9 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         )
         best = None  # (plan, packed, cfg, fmt, ro, secs)
         last_err_r = None
+        any_gated = False
         race_log.clear()
+        plan_i = None
         for cfg_i, fmt_i, ro_i in cands_r:
             if fmt_i in ("mxu", "edge", "ell") and backend in (
                 "xla", "pallas", "pallas_interpret"
@@ -486,6 +518,33 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 else:
                     packed_i = _pack_for(coo, cfg_i, fmt_i, ro_i[0],
                                          reorder_rows=ro_i[1])
+                # Device-footprint gate: resident b_dev/c_dev + the jit's
+                # padded b/c/out transients + the pack upload must fit HBM.
+                # ldoor N=512's stored mxu winner (fill 0.018 -> 10.7 GB
+                # pack) + 3x 1.95 GB dense extents is a guaranteed
+                # RESOURCE_EXHAUSTED no retry can fix — skip it up front
+                # instead of poisoning the pass.
+                n_pad_i = round_up(n, 128)
+                est_i = (
+                    _pack_dev_bytes(packed_i)
+                    + 4 * n * (k + 2 * m)
+                    + 4 * n_pad_i * (packed_i.k_padded + 2 * packed_i.m_padded)
+                )
+                if est_i > HBM_BUDGET_BYTES:
+                    log(f"  candidate {fmt_i} bk={cfg_i.block_k} "
+                        f"tm={cfg_i.tile_m} wk={cfg_i.window_k}: skipped, "
+                        f"est device footprint {est_i / 2**30:.1f} GiB > "
+                        f"budget {HBM_BUDGET_BYTES / 2**30:.1f} GiB")
+                    race_log.append({
+                        "fmt": fmt_i,
+                        "skipped": f"footprint {est_i / 2**30:.1f} GiB",
+                    })
+                    any_gated = True
+                    if packed_i is not None and (
+                        best is None or packed_i is not best[1]
+                    ):
+                        packed_i.__dict__.pop("_dev_cache", None)
+                    continue
                 plan_i = SpmmPlan(
                     packed_i, n,
                     backend=backend
@@ -520,17 +579,30 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 if not do_race_r:
                     break
             except Exception as e:  # deterministic compile rejection → next
-                last_err_r = e
-                race_log.append({"fmt": fmt_i, "error": str(e)[:120]})
+                msg = f"{type(e).__name__}: {str(e)[:300]}"
+                race_log.append({"fmt": fmt_i, "error": msg[:120]})
                 log(f"  candidate {fmt_i} bk={cfg_i.block_k} tm={cfg_i.tile_m} "
                     f"wk={cfg_i.window_k} tn={cfg_i.tile_n} failed: "
-                    f"{str(e)[:120]}")
+                    f"{msg[:120]}")
+                # Sanitize before keeping: the raw exception's traceback
+                # frames reference the failing call's device arrays (the
+                # plan's _dev upload tuple), so storing it pins multi-GB
+                # HBM for the rest of the race — observed ldoor N=512: the
+                # failed mxu candidate's 10.7 GB pack stayed resident and
+                # OOMed the vpu candidate that fits with room to spare.
+                last_err_r = RuntimeError(msg)
+                del e
+                plan_i = None  # drop the failed plan's _dev tuple
                 # failed candidate may still hold device buffers
                 if packed_i is not None and (
                     best is None or packed_i is not best[1]
                 ):
                     packed_i.__dict__.pop("_dev_cache", None)
         if best is None:
+            if last_err_r is None and any_gated:
+                raise _AllGated(
+                    "every candidate exceeded the device-memory budget"
+                )
             raise last_err_r if last_err_r else RuntimeError("no candidate ran")
         return best
 
@@ -619,9 +691,22 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         # showed whole candidate families silently excluded). Budgeted
         # compromise: race a family-diverse top-3.
         limit = None if coo.nnz <= 8_000_000 else 3
-        plan, packed, cfg, fmt, ro, best_secs = _race_blocked(
-            cands, limit=limit
-        )
+        try:
+            plan, packed, cfg, fmt, ro, best_secs = _race_blocked(
+                cands, limit=limit
+            )
+        except _AllGated:
+            if len(cands) > 1:
+                raise
+            # A stored winner (tuned at a smaller N) can be over-budget at
+            # this N: rebuild the full candidate list and let the footprint
+            # gate pick among families that fit.
+            log("  stored candidate over device budget; racing full list")
+            cands = candidate_list(coo_for_tuning, coo, n, base_ro)
+            limit = None if coo.nnz <= 8_000_000 else 3
+            plan, packed, cfg, fmt, ro, best_secs = _race_blocked(
+                cands, limit=limit
+            )
     t_pack = time.perf_counter() - t0
 
     rec = {
@@ -919,6 +1004,20 @@ def load_covered(path) -> set:
     return covered
 
 
+def load_failed(path) -> set:
+    """(matrix, n) pairs whose canonical row is an error record — rows that
+    were attempted and failed in every pass so far."""
+    try:
+        doc = json.loads(Path(path).read_text())
+    except (OSError, json.JSONDecodeError):
+        return set()
+    return {
+        (r["matrix"], r["n"])
+        for r in doc.get("results", [])
+        if "error" in r and "matrix" in r and "n" in r
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="small", choices=["small", "full"])
@@ -999,14 +1098,31 @@ def main(argv=None):
     pack_cache = PackCache()
 
     covered = set()
+    failed_prior = set()
     if args.skip_covered:
         covered = load_covered(args.skip_covered)
+        failed_prior = load_failed(args.skip_covered)
         log(f"skip-covered: {len(covered)} healthy rows in "
             f"{args.skip_covered}")
 
+    # Never-attempted rows before previously-errored ones: a matrix whose
+    # todo rows all failed deterministically in earlier passes (ldoor N=512
+    # OOM) must not keep eating the pass budget ahead of rows that were
+    # never reached (the r4 overnight livelocked exactly this way —
+    # nlpkkt80/webbase never ran because ldoor died first every pass).
+    items = list(suite(args.scale).items())
+    if failed_prior:
+        def _all_failed(entry):
+            name_o, _ = entry
+            todo_o = [n for n in args.n if (name_o, n) not in covered]
+            return 1 if todo_o and all(
+                (name_o, n) in failed_prior for n in todo_o
+            ) else 0
+        items.sort(key=_all_failed)  # stable: keeps suite order within tiers
+
     results = []
     stopped = False
-    for name, gen in suite(args.scale).items():
+    for name, gen in items:
         if args.only and args.only not in name:
             continue
         todo_n = [n for n in args.n if (name, n) not in covered]

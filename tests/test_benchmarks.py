@@ -260,3 +260,56 @@ def test_load_covered_skips_only_healthy_rows(tmp_path):
     p.write_text(json.dumps(doc))
     assert load_covered(p) == {("a", 16)}
     assert load_covered(tmp_path / "missing.json") == set()
+
+
+def test_load_failed_collects_error_rows(tmp_path):
+    """Error rows in the canonical file feed the deferral ordering (a
+    deterministically-failing matrix must not starve never-attempted ones)."""
+    import json
+
+    from benchmarks.suite import load_failed
+
+    doc = {
+        "results": [
+            {"matrix": "a", "n": 16, "gflops": 10.0},
+            {"matrix": "b", "n": 512, "error": "RESOURCE_EXHAUSTED"},
+            {"matrix": "c", "n": 16, "error": "boom"},
+        ]
+    }
+    p = tmp_path / "canon.json"
+    p.write_text(json.dumps(doc))
+    assert load_failed(p) == {("b", 512), ("c", 16)}
+    assert load_failed(tmp_path / "missing.json") == set()
+
+
+def test_pack_dev_bytes_matches_upload_tuple():
+    """The footprint gate's byte count must equal the arrays SpmmPlan
+    actually uploads (ops/plan.py:150-163)."""
+    from benchmarks.suite import _pack_dev_bytes
+    from sextans_tpu.format.pack import pack
+    from sextans_tpu.utils.config import SpmmConfig
+
+    coo = fem_like(600, dofs=3, neighbors=4, bandwidth=60, seed=7)
+    packed = pack(coo, SpmmConfig(tile_m=256, window_k=256, block_k=8,
+                                  group_blocks=32))
+    expect = (packed.vals.nbytes + packed.qrow.nbytes + packed.bcol.nbytes
+              + packed.group_mtile.nbytes + packed.group_kwin.nbytes)
+    assert _pack_dev_bytes(packed) == expect
+
+
+def test_footprint_gate_skips_oversized_candidate(monkeypatch):
+    """A candidate whose pack + dense extents exceed the HBM budget is
+    skipped with race provenance instead of raising RESOURCE_EXHAUSTED
+    (the ldoor N=512 livelock)."""
+    from benchmarks import suite as suite_mod
+
+    coo = fem_like(1200, dofs=3, neighbors=5, bandwidth=80, seed=22)
+    monkeypatch.setattr(suite_mod, "HBM_BUDGET_BYTES", 1)  # gate everything
+    try:
+        suite_mod.run_one(
+            "tiny_gated", coo, 16, backend="xla", use_autotune=True, rp_time=2
+        )
+    except Exception as e:
+        assert "budget" in str(e) or isinstance(e, suite_mod._AllGated)
+    else:
+        raise AssertionError("expected every candidate to be gated")
