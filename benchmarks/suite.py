@@ -628,9 +628,21 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             use_autotune and stored is None and coo.nnz <= 8_000_000
             and backend in ("auto", "hybrid")
         ):
+            t_h = None
             try:
                 plan(b_dev, alpha, beta, c_dev)  # compile hybrid
                 t_h = _race_secs(plan)
+            except Exception as e:
+                # A hybrid plan that cannot compile/time must not keep the
+                # row (observed webbase1M N=512: the hybrid+ell repeat
+                # chain OOMed HBM while the vpu candidate at ~52 ms was
+                # never tried — the whole race was abandoned on this
+                # exception). Fall through to the blocked race; any
+                # runnable candidate beats an untimeable hybrid.
+                log(f"  hybrid compile/time failed "
+                    f"({type(e).__name__}: {str(e)[:90]}); "
+                    f"racing blocked candidates")
+            try:
                 # Race hybrid against the FULL single-engine candidate
                 # list, not the model's top-1 — round 3 shipped the ELL
                 # engine with zero canonical wins because this race only
@@ -642,17 +654,26 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 (plan_a, packed_a, cfg_a, fmt_a, ro_a, t_a) = _race_blocked(
                     cands_h, force_time=True
                 )
-                log(f"  hybrid race: hybrid {t_h * 1e3:.3f} ms vs best "
-                    f"blocked {fmt_a} {t_a * 1e3:.3f} ms")
-                race_log.insert(
-                    0, {"fmt": "hybrid", "ms": round(t_h * 1e3, 3)}
-                )
-                if t_a < t_h:
+                if t_h is not None:
+                    log(f"  hybrid race: hybrid {t_h * 1e3:.3f} ms vs best "
+                        f"blocked {fmt_a} {t_a * 1e3:.3f} ms")
+                    race_log.insert(
+                        0, {"fmt": "hybrid", "ms": round(t_h * 1e3, 3)}
+                    )
+                else:
+                    race_log.insert(0, {"fmt": "hybrid", "error": "untimeable"})
+                if t_h is None or t_a < t_h:
                     plan, packed = plan_a, packed_a
                     cfg, fmt, ro = cfg_a, fmt_a, ro_a
                     split = None
             except Exception as e:
                 log(f"  hybrid race alt failed: {str(e)[:100]}")
+                if t_h is None:
+                    # neither the hybrid nor any blocked candidate ran
+                    raise RuntimeError(
+                        f"hybrid untimeable and blocked race failed: "
+                        f"{type(e).__name__}: {str(e)[:300]}"
+                    ) from None
     else:
         # A contended pool corrupts the race itself (observed: a 2000x-off
         # relative ranking), so wait for a healthy window before racing.
@@ -910,13 +931,30 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
     # T*kernel_time >> jitter for the differential to resolve; start at
     # rp_time and escalate until the measured span is ~0.3s of kernel time.
     def measure():
+        # In-device repeat chain first; if its while-loop program cannot
+        # compile (webbase1M N=512 hybrid+ell: jit(rep) OOMs HBM by 77 MB
+        # while the verified single-call program fits), fall back to the
+        # host-chained protocol — same data dependency, can only
+        # overestimate, and the row lands instead of erroring.
+        from sextans_tpu.utils.timing import time_repeat_chained
+
+        timer = time_repeat
         times = rp_time
-        secs, tinfo = time_repeat(
-            plan, b_dev, alpha, beta, c_dev, times=times, detail=True
-        )
+        try:
+            secs, tinfo = timer(
+                plan, b_dev, alpha, beta, c_dev, times=times, detail=True
+            )
+        except Exception as e:
+            log(f"  repeat-chain timing failed "
+                f"({type(e).__name__}: {str(e)[:90]}); "
+                f"falling back to host-chained timing")
+            timer = time_repeat_chained
+            secs, tinfo = timer(
+                plan, b_dev, alpha, beta, c_dev, times=times, detail=True
+            )
         while secs * times < 0.3 and times < 4096:
             times = min(4096, max(times * 4, int(0.35 / max(secs, 1e-6))))
-            secs, tinfo = time_repeat(
+            secs, tinfo = timer(
                 plan, b_dev, alpha, beta, c_dev, times=times, detail=True
             )
         return times, secs, tinfo

@@ -15,7 +15,7 @@ from typing import Callable
 
 import jax
 
-__all__ = ["time_chained", "time_repeat"]
+__all__ = ["time_chained", "time_repeat", "time_repeat_chained"]
 
 
 def time_chained(
@@ -74,6 +74,13 @@ def time_repeat(plan, b, alpha, beta, c0, times: int = 10, detail: bool = False)
 
     wall(times, alpha)  # compile T
     wall(2 * times, alpha)  # compile 2T
+    return _differential(wall, times, alpha, detail, "")
+
+
+def _differential(wall, times, alpha, detail, tag):
+    """Shared differential protocol: wall(2T) - wall(T) with alpha perturbed
+    per sample (defeats result memoization), amortized fallback when the two
+    walls agree within noise."""
     eps = abs(alpha) * 1e-7 + 1e-12
     w1 = min(wall(times, alpha + eps), wall(times, alpha + 2 * eps))
     w2 = min(wall(2 * times, alpha + 3 * eps), wall(2 * times, alpha + 4 * eps))
@@ -88,9 +95,34 @@ def time_repeat(plan, b, alpha, beta, c0, times: int = 10, detail: bool = False)
         method = "amortized"
     if detail:
         return dt, {
-            "method": method,
+            "method": tag + method,
             "wall_T_s": round(w1, 6),
             "wall_2T_s": round(w2, 6),
             "times": times,
         }
     return dt
+
+
+def time_repeat_chained(plan, b, alpha, beta, c0, times: int = 10,
+                        detail: bool = False):
+    """``time_repeat`` fallback for plans whose in-device repeat program
+    cannot compile (observed: webbase1M N=512 hybrid+ell — jit(rep)'s
+    while-loop carries the kernel's padded steering temps and OOMs HBM by
+    77 MB while the single-call program fits comfortably). Chains ``times``
+    single-call dispatches through the C carry on the host — same data
+    dependency, same differential/fetch protocol, no while-loop program.
+    Dispatch overhead rides on every step, so this can only overestimate."""
+    import numpy as np
+
+    times = max(times, 1)
+
+    def wall(t, al):
+        t0 = time.perf_counter()
+        c = c0
+        for _ in range(t):
+            c = plan(b, al, beta, c)
+        np.asarray(c[:1, :1])  # fetch barrier (see time_repeat)
+        return time.perf_counter() - t0
+
+    wall(1, alpha)  # compile (usually already compiled by the verify pass)
+    return _differential(wall, times, alpha, detail, "chained-")

@@ -313,3 +313,106 @@ def test_footprint_gate_skips_oversized_candidate(monkeypatch):
         assert "budget" in str(e) or isinstance(e, suite_mod._AllGated)
     else:
         raise AssertionError("expected every candidate to be gated")
+
+
+def _hybrid_band_coo(seed=2, m=60000):
+    """Circuit-band matrix: near-total DIA cover -> the hybrid gate fires."""
+    import numpy as np
+
+    from sextans_tpu.format.coo import COOMatrix
+
+    rng = np.random.default_rng(seed)
+    diag = np.arange(m, dtype=np.int64)
+    lr = rng.integers(0, m, m * 4)
+    lc = np.clip(lr + rng.integers(-40, 41, m * 4), 0, m - 1)
+    rows = np.concatenate([diag, lr])
+    cols = np.concatenate([diag, lc])
+    lin = rows * m + cols
+    _, keep = np.unique(lin, return_index=True)
+    return COOMatrix((m, m), rows[keep].astype(np.int32),
+                     cols[keep].astype(np.int32),
+                     np.ones(keep.size, np.float32))
+
+
+def test_untimeable_hybrid_falls_back_to_blocked_race(monkeypatch):
+    """A hybrid plan whose compile/timing raises must not keep the row:
+    the blocked race runs and its winner lands (webbase1M N=512: the
+    hybrid+ell repeat chain OOMed and the whole row errored although the
+    vpu candidate ran at ~52 ms)."""
+    import contextlib
+    import io
+
+    from benchmarks import suite as suite_mod
+    from sextans_tpu.ops import hybrid as hybrid_mod
+
+    coo = _hybrid_band_coo()
+
+    def boom(self, *a, **k):
+        raise RuntimeError("synthetic hybrid compile OOM")
+
+    monkeypatch.setattr(hybrid_mod.HybridSpmmPlan, "__call__", boom)
+
+    import sextans_tpu.utils.timing as timing_mod
+
+    monkeypatch.setattr(
+        timing_mod, "time_repeat",
+        lambda plan, b, a, be, c, times=1, detail=False:
+            (1e-3, {"method": "differential", "times": times})
+            if detail else 1e-3)
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        # backend="auto": the hybrid-vs-blocked race only runs for
+        # auto/hybrid backends (the real suite path)
+        rec = suite_mod.run_one("untimeable", coo, 16, "auto", True,
+                                verify_gate=True)
+    assert "hybrid compile/time failed" in err.getvalue()
+    assert not rec["fmt"].startswith("hybrid")
+    assert rec["verify"] == "pass"
+    assert rec["gflops"] > 0
+
+
+def test_time_repeat_chained_protocol():
+    """The host-chained timing fallback returns a positive time with
+    chained-* method provenance and matches the plan's semantics."""
+    from sextans_tpu.format.pack import pack
+    from sextans_tpu.ops.plan import SpmmPlan
+    from sextans_tpu.utils.config import SpmmConfig
+    from sextans_tpu.utils.timing import time_repeat_chained
+
+    import numpy as np
+
+    coo = fem_like(600, dofs=3, neighbors=4, bandwidth=60, seed=7)
+    packed = pack(coo, SpmmConfig(tile_m=256, window_k=256, block_k=8,
+                                  group_blocks=32))
+    m, k = coo.shape
+    b = np.ones((k, 16), np.float32)
+    c = np.zeros((m, 16), np.float32)
+    plan = SpmmPlan(packed, 16, backend="xla")
+    secs, info = time_repeat_chained(plan, b, 0.85, -2.06, c, times=2,
+                                     detail=True)
+    assert secs > 0
+    assert info["method"].startswith("chained-")
+
+
+def test_measure_falls_back_to_chained_timing(monkeypatch):
+    """run_one lands a timed row even when the in-device repeat chain
+    cannot compile (jit(rep) HBM OOM): timing provenance says chained-*."""
+    import contextlib
+    import io
+
+    from benchmarks import suite as suite_mod
+
+    import sextans_tpu.utils.timing as timing_mod
+
+    def rep_boom(plan, b, a, be, c, times=1, detail=False):
+        raise RuntimeError("synthetic jit(rep) OOM")
+
+    monkeypatch.setattr(timing_mod, "time_repeat", rep_boom)
+    coo = fem_like(1200, dofs=3, neighbors=5, bandwidth=80, seed=22)
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rec = suite_mod.run_one("chainfall", coo, 16, "xla",
+                                use_autotune=False, rp_time=2)
+    assert "falling back to host-chained timing" in err.getvalue()
+    assert rec["gflops"] > 0
+    assert rec["timing"]["method"].startswith("chained-")
