@@ -65,6 +65,44 @@ def _pack_dev_bytes(packed) -> int:
     return total
 
 
+def _est_exec_bytes(packed, n: int, m: int, k: int) -> int:
+    """Estimated peak device bytes of one plan call on ``packed``: the
+    resident b/c uploads + the jit's padded b/c/out transients + the pack
+    upload + engine-specific extents the generic formula misses. For ELL
+    that is the post-kernel fold scatter (an extra (m_padded, n_pad) copy
+    — out is consumed by ``out.at[fold_rows].add``) and the virtual-row
+    strip temporaries (2 x (n_virt, n_pad)): webbase1M N=512 measured the
+    gap — generic est 12.5 GiB, actual peak >15.5 GiB, deterministic
+    RESOURCE_EXHAUSTED that poisoned the whole race."""
+    n_pad = round_up(n, 128)
+    est = (
+        _pack_dev_bytes(packed)
+        + 4 * n * (k + 2 * m)
+        + 4 * n_pad * (packed.k_padded + 2 * packed.m_padded)
+    )
+    n_virt = getattr(packed, "n_virt", None)
+    if n_virt is not None:  # ELL pack: fold copy + virt strip temps
+        est += 4 * n_pad * (packed.m_padded + 2 * n_virt)
+    return est
+
+
+def _release_hybrid_dev(plan, packed) -> None:
+    """Free an abandoned HybridSpmmPlan's device residency: the dense
+    component uploads, the prebuilt arg tuples aliasing them, the residue
+    SpmmPlan's upload tuple, and the residue pack's ``_dev_cache`` (also
+    pinned by pack_cache._mem). Without this the blocked race that
+    replaces an untimeable hybrid runs with the hybrid's multi-GB buffers
+    still resident (webbase1M N=512: every blocked candidate hit
+    RESOURCE_EXHAUSTED after the hybrid attempt OOMed)."""
+    for attr in ("_dev", "_dense_args", "_res_args"):
+        plan.__dict__.pop(attr, None)
+    rp = plan.__dict__.pop("_residue_plan", None)
+    if rp is not None:
+        rp.__dict__.pop("_dev", None)
+    if packed is not None:
+        packed.__dict__.pop("_dev_cache", None)
+
+
 class _AllGated(RuntimeError):
     """Every race candidate exceeded the device-memory budget."""
 
@@ -524,12 +562,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 # pack) + 3x 1.95 GB dense extents is a guaranteed
                 # RESOURCE_EXHAUSTED no retry can fix — skip it up front
                 # instead of poisoning the pass.
-                n_pad_i = round_up(n, 128)
-                est_i = (
-                    _pack_dev_bytes(packed_i)
-                    + 4 * n * (k + 2 * m)
-                    + 4 * n_pad_i * (packed_i.k_padded + 2 * packed_i.m_padded)
-                )
+                est_i = _est_exec_bytes(packed_i, n, m, k)
                 if est_i > HBM_BUDGET_BYTES:
                     log(f"  candidate {fmt_i} bk={cfg_i.block_k} "
                         f"tm={cfg_i.tile_m} wk={cfg_i.window_k}: skipped, "
@@ -629,19 +662,40 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             and backend in ("auto", "hybrid")
         ):
             t_h = None
-            try:
-                plan(b_dev, alpha, beta, c_dev)  # compile hybrid
-                t_h = _race_secs(plan)
-            except Exception as e:
-                # A hybrid plan that cannot compile/time must not keep the
-                # row (observed webbase1M N=512: the hybrid+ell repeat
-                # chain OOMed HBM while the vpu candidate at ~52 ms was
-                # never tried — the whole race was abandoned on this
-                # exception). Fall through to the blocked race; any
-                # runnable candidate beats an untimeable hybrid.
-                log(f"  hybrid compile/time failed "
-                    f"({type(e).__name__}: {str(e)[:90]}); "
+            hybrid_note = None
+            # Footprint-gate the hybrid attempt BEFORE dispatching it: a
+            # device OOM poisons the client process for good, so an
+            # over-budget hybrid doesn't just lose — it takes every
+            # blocked candidate after it down too (webbase1M N=512,
+            # passes 14-16). The estimate is the residue plan's exec
+            # footprint plus the dense component uploads.
+            est_h = _est_exec_bytes(packed, n, m, k) + sum(
+                int(a.nbytes) for a in getattr(plan, "_dev", {}).values()
+            )
+            if est_h > HBM_BUDGET_BYTES:
+                log(f"  hybrid skipped: est device footprint "
+                    f"{est_h / 2**30:.1f} GiB > budget "
+                    f"{HBM_BUDGET_BYTES / 2**30:.1f} GiB; "
                     f"racing blocked candidates")
+                hybrid_note = f"skipped: footprint {est_h / 2**30:.1f} GiB"
+                _release_hybrid_dev(plan, packed)
+            else:
+                try:
+                    plan(b_dev, alpha, beta, c_dev)  # compile hybrid
+                    t_h = _race_secs(plan)
+                except Exception as e:
+                    # A hybrid plan that cannot compile/time must not keep
+                    # the row (observed webbase1M N=512: the hybrid+ell
+                    # repeat chain OOMed HBM while the vpu candidate at
+                    # ~52 ms was never tried — the whole race was
+                    # abandoned on this exception). Fall through to the
+                    # blocked race; any runnable candidate beats an
+                    # untimeable hybrid.
+                    log(f"  hybrid compile/time failed "
+                        f"({type(e).__name__}: {str(e)[:90]}); "
+                        f"racing blocked candidates")
+                    hybrid_note = "untimeable"
+                    _release_hybrid_dev(plan, packed)
             try:
                 # Race hybrid against the FULL single-engine candidate
                 # list, not the model's top-1 — round 3 shipped the ELL
@@ -661,7 +715,9 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                         0, {"fmt": "hybrid", "ms": round(t_h * 1e3, 3)}
                     )
                 else:
-                    race_log.insert(0, {"fmt": "hybrid", "error": "untimeable"})
+                    race_log.insert(
+                        0, {"fmt": "hybrid", "error": hybrid_note}
+                    )
                 if t_h is None or t_a < t_h:
                     plan, packed = plan_a, packed_a
                     cfg, fmt, ro = cfg_a, fmt_a, ro_a
