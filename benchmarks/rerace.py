@@ -129,6 +129,7 @@ def main(argv=None):
             "--only", name,
             "--n", *[str(x) for x in sorted(set(ns))],
             "--autotune",
+            "--force-race",
             "--canary-retries", "3",
             "--deadline-ts", str(deadline),
             "--tuned-configs", args.tuned_configs,

@@ -314,7 +314,7 @@ def candidate_list(coo_for_tuning, coo, n, base_ro, first=None):
 def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
             reorder_cols=False, store=None, hybrid="auto", canary=None,
             canary_retries=CANARY_RETRIES, healthy_ms=HEALTHY_CANARY_MS,
-            pack_cache=None):
+            pack_cache=None, force_race=False):
     import jax.numpy as jnp
 
     from sextans_tpu.format.csr import CSRMatrix
@@ -345,6 +345,17 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         cfg = SpmmConfig(tile_m=1024, window_k=4096, block_k=128,
                          group_blocks=8, chunk_unroll=2)
     stored = store.get(key) if store is not None else None
+    if stored is not None and force_race:
+        # Targeted re-race (benchmarks/rerace.py --force-race): the 2x
+        # model-vs-stored challenge thresholds below keep a frozen row
+        # frozen when the model sees only 1.5-2x headroom (mac_econ N=16
+        # sat at 1.6 GFLOPS from an early-pass hybrid for two rounds this
+        # way). Drop the stored winner entirely so the full race decides;
+        # the canonical merge keeps the fastest healthy sample, so this
+        # can only improve the table.
+        log("  force-race: ignoring stored winner "
+            f"{(store.meta(key) or {}).get('fmt')}")
+        stored = None
     split = None
     stored_hybrid_fmt = None
     if stored is not None:
@@ -1126,6 +1137,9 @@ def main(argv=None):
                     help="unix timestamp: stop cleanly before the next row "
                          "once reached (no mid-dispatch kill needed)")
     ap.add_argument("--no-verify", action="store_true")
+    ap.add_argument("--force-race", action="store_true",
+                    help="ignore stored tuned-config winners and run the "
+                         "full measured race (targeted re-race driver)")
     ap.add_argument("--no-canary", action="store_true")
     ap.add_argument("--only", default=None, help="substring filter on matrix name")
     ap.add_argument(
@@ -1244,6 +1258,7 @@ def main(argv=None):
                     reorder_cols=args.reorder_cols, store=store,
                     canary=canary, canary_retries=args.canary_retries,
                     healthy_ms=healthy_ms, pack_cache=pack_cache,
+                    force_race=args.force_race,
                 )
             except Exception as e:
                 log(f"  !! {name} N={n} failed: {e!r}")

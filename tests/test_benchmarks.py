@@ -416,3 +416,44 @@ def test_measure_falls_back_to_chained_timing(monkeypatch):
     assert "falling back to host-chained timing" in err.getvalue()
     assert rec["gflops"] > 0
     assert rec["timing"]["method"].startswith("chained-")
+
+
+def test_force_race_ignores_stored_winner(tmp_path, monkeypatch):
+    """--force-race drops a stored winner even when the 2x challenge
+    thresholds would keep it frozen (mac_econ N=16 sat at 1.6 GFLOPS for
+    two rounds with only ~1.7x model headroom)."""
+    import contextlib
+    import io
+
+    from benchmarks import suite as suite_mod
+    from sextans_tpu.utils.autotune import ConfigStore
+    from sextans_tpu.utils.config import SpmmConfig
+
+    coo = fem_like(800, dofs=3, neighbors=4, bandwidth=60, seed=9)
+    store = ConfigStore(tmp_path / "tuned.json")
+    # stored winner with realistic GFLOPS: the 2x challenges stay closed
+    store.put("frozen|n=16", SpmmConfig(), fmt="vpu", gflops=50.0)
+
+    import sextans_tpu.utils.timing as timing_mod
+
+    monkeypatch.setattr(
+        timing_mod, "time_repeat",
+        lambda plan, b, a, be, c, times=1, detail=False:
+            (1e-3, {"method": "differential", "times": times})
+            if detail else 1e-3)
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rec_frozen = suite_mod.run_one(
+            "frozen", coo, 16, "xla", True, verify_gate=True, store=store,
+        )
+    assert "tuned-config store hit" in err.getvalue()
+    assert not rec_frozen.get("race")  # stored winner: no race ran
+
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rec = suite_mod.run_one(
+            "frozen", coo, 16, "xla", True, verify_gate=True, store=store,
+            force_race=True,
+        )
+    assert "force-race: ignoring stored winner" in err.getvalue()
+    assert rec["verify"] == "pass"
