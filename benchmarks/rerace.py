@@ -139,7 +139,11 @@ def main(argv=None):
         subprocess.run(cmd, stdout=subprocess.DEVNULL, check=False)
     from benchmarks.overnight import merge
 
-    merge(list(args.also_merge) + sorted(pass_dir.glob("pass_*.json")),
+    # Seed the merge with the existing canonical file: rows whose winning
+    # sample lives in an earlier round's merged doc (not in pass_dir)
+    # must survive the re-merge (30 of 60 r4 rows are seeded that way).
+    merge([Path(args.results)] + list(args.also_merge)
+          + sorted(pass_dir.glob("pass_*.json")),
           args.results)
     return 0
 
