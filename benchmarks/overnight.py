@@ -87,15 +87,21 @@ def merge(pass_files, out_path):
     for r in rows:
         if (
             r.get("meets_1e6_gate") is False
-            and "gate_unreachable" not in r
-            and "gate_note" not in r
-            and r.get("c_max_abs")
+            and not r.get("gate_unreachable")
+            and not r.get("gate_note")
         ):
-            ulp = float(_np.spacing(_np.float32(r["c_max_abs"]))) or 1e-45
-            if ulp > 2e-6:
-                r["gate_unreachable"] = True
+            if r.get("c_max_abs"):
+                ulp = float(_np.spacing(_np.float32(r["c_max_abs"]))) or 1e-45
+                if ulp > 2e-6:
+                    r["gate_unreachable"] = True
+                else:
+                    r["gate_note"] = "precise-not-attempted:pre-r4-row"
             else:
-                r["gate_note"] = "precise-not-attempted:pre-r4-row"
+                # r3-era row: no c_max_abs on the row, so ulp reachability
+                # can't be judged from its own evidence — never leave the
+                # false silent (a re-race replaces the row with stamped
+                # evidence; until then the note records the gap)
+                r["gate_note"] = "precise-not-attempted:pre-r4-row-no-ulp"
     doc = {
         "merged_at": datetime.now(timezone.utc).isoformat(),
         "merged_from": [str(p) for p in pass_files],

@@ -669,7 +669,7 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         # mis-rank 10-100x on some patterns — same reason the blocked race
         # exists). Stored-hybrid rows skip this like every stored config.
         if (
-            use_autotune and stored is None and coo.nnz <= 8_000_000
+            use_autotune and stored is None
             and backend in ("auto", "hybrid")
         ):
             t_h = None
@@ -716,8 +716,14 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
                 cands_h = candidate_list(
                     coo_for_tuning, coo, n, (reorder_cols, False)
                 )
+                # >8M-nnz rows: same budgeted family-diverse top-3 as the
+                # blocked path (rounds 1-3 never raced the hybrid winner on
+                # the biggest rows at all — nlpkkt80/ldoor landed with no
+                # race provenance, exactly where the model is least
+                # trustworthy)
                 (plan_a, packed_a, cfg_a, fmt_a, ro_a, t_a) = _race_blocked(
-                    cands_h, force_time=True
+                    cands_h, force_time=True,
+                    limit=None if coo.nnz <= 8_000_000 else 3,
                 )
                 if t_h is not None:
                     log(f"  hybrid race: hybrid {t_h * 1e3:.3f} ms vs best "

@@ -457,3 +457,33 @@ def test_force_race_ignores_stored_winner(tmp_path, monkeypatch):
         )
     assert "force-race: ignoring stored winner" in err.getvalue()
     assert rec["verify"] == "pass"
+
+
+def test_merge_stamps_gate_note_without_cmaxabs(tmp_path):
+    """Retro gate accounting must not leave a silent meets_1e6_gate=false:
+    r3-era rows carry c_max_abs=None AND gate_unreachable=None keys (the
+    old `not in r` check skipped them) — they get the no-ulp note."""
+    import json as _json
+
+    from benchmarks.overnight import merge
+
+    doc = {"session": {"nasa_canary_ms": 0.2, "canary_healthy_ms": 0.5},
+           "results": [
+               {"matrix": "old", "n": 16, "gflops": 10.0,
+                "meets_1e6_gate": False, "gate_unreachable": None,
+                "gate_note": None, "c_max_abs": None,
+                "canary_pre_ms": 0.2, "canary_post_ms": 0.2},
+               {"matrix": "ulp", "n": 16, "gflops": 10.0,
+                "meets_1e6_gate": False, "gate_unreachable": None,
+                "gate_note": None, "c_max_abs": 100.0,
+                "canary_pre_ms": 0.2, "canary_post_ms": 0.2},
+           ]}
+    p = tmp_path / "pass_01.json"
+    p.write_text(_json.dumps(doc))
+    out = tmp_path / "merged.json"
+    merge([p], out)
+    rows = {r["matrix"]: r for r in _json.loads(out.read_text())["results"]}
+    assert rows["old"]["gate_note"] == "precise-not-attempted:pre-r4-row-no-ulp"
+    # c_max_abs=100 -> ulp(f32 100.0) ~ 7.6e-6 > 2e-6 -> structurally
+    # unreachable for an f32 kernel
+    assert rows["ulp"]["gate_unreachable"] is True
