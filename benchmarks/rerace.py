@@ -94,10 +94,22 @@ def main(argv=None):
     ap.add_argument("--also-merge", nargs="*", default=[])
     ap.add_argument("--dry-run", action="store_true",
                     help="print the ranked re-race list and exit (no device)")
+    ap.add_argument("--rows", default=None,
+                    help="explicit re-race list 'matrix:16,512;matrix2:128' "
+                         "— bypasses the model-headroom ranking (for "
+                         "provenance/measured-floor races the ratio filter "
+                         "would skip)")
     args = ap.parse_args(argv)
 
-    todo = candidates(args.results, args.ratio, args.max_nnz,
-                      set(args.n) if args.n else None)
+    if args.rows:
+        todo = []
+        for spec in args.rows.split(";"):
+            name, _, ns = spec.partition(":")
+            for n in ns.split(","):
+                todo.append((0.0, name.strip(), int(n), 0.0, "?", 0.0, 0.0))
+    else:
+        todo = candidates(args.results, args.ratio, args.max_nnz,
+                          set(args.n) if args.n else None)
     if not todo:
         log("no rows above the ratio — table is model-consistent")
         return 0
