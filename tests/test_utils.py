@@ -144,33 +144,58 @@ def test_profiling_trace_smoke(tmp_path):
     assert any((tmp_path / "tr").rglob("*"))
 
 
-def test_time_repeat_rejects_noise_dominated_differential():
+class _FakeClock:
+    """Virtual perf_counter: a plan advances it by its modeled wall time.
+
+    Real time.sleep arithmetic made these tests fail under host load (a
+    loaded runner stretched a 12 ms sleep to 2.47 ms of extra wall —
+    VERDICT r4 weak #4); the virtual clock makes the protocol's math exact
+    and the tests instant."""
+
+    def __init__(self):
+        self.now = 0.0
+
+    def perf_counter(self):
+        return self.now
+
+
+def _fake_timed_plan(monkeypatch, wall_of_times):
+    from sextans_tpu.utils import timing as timing_mod
+
+    clock = _FakeClock()
+    monkeypatch.setattr(timing_mod.time, "perf_counter", clock.perf_counter)
+
+    class FakePlan:
+        def repeat(self, b, alpha, beta, c, times):
+            clock.now += wall_of_times(times)
+            return np.zeros((2, 2), dtype=np.float32)
+
+    return FakePlan()
+
+
+def test_time_repeat_rejects_noise_dominated_differential(monkeypatch):
     """If wall(2T) ~ wall(T) (noise), time_repeat must fall back to the
     amortized wall instead of reporting an absurd near-zero marginal."""
     from sextans_tpu.utils.timing import time_repeat
 
-    class FakePlan:
-        def repeat(self, b, alpha, beta, c, times):
-            time.sleep(0.01)  # fixed wall regardless of times → pure noise
-            return np.zeros((2, 2), dtype=np.float32)
-
-    secs, info = time_repeat(FakePlan(), None, 1.0, 0.0, None, times=10,
+    # fixed wall regardless of times → pure noise
+    plan = _fake_timed_plan(monkeypatch, lambda times: 0.01)
+    secs, info = time_repeat(plan, None, 1.0, 0.0, None, times=10,
                              detail=True)
-    # amortized fallback: ~0.01 / 20; never the near-zero differential
+    # amortized fallback: 0.01 / 20; never the near-zero differential
     assert secs >= 0.01 / 25
     assert info["method"] == "amortized"
 
 
-def test_time_repeat_uses_differential_when_clean():
+def test_time_repeat_uses_differential_when_clean(monkeypatch):
     from sextans_tpu.utils.timing import time_repeat
 
-    class FakePlan:
-        def repeat(self, b, alpha, beta, c, times):
-            time.sleep(0.002 + 0.001 * times)  # fixed + linear component
-            return np.zeros((2, 2), dtype=np.float32)
-
-    secs, info = time_repeat(FakePlan(), None, 1.0, 0.0, None, times=10,
+    # fixed + linear component: the differential must cancel the fixed part
+    plan = _fake_timed_plan(
+        monkeypatch, lambda times: 0.002 + 0.001 * times
+    )
+    secs, info = time_repeat(plan, None, 1.0, 0.0, None, times=10,
                              detail=True)
-    # true marginal is 1ms/iter; fixed 2ms must be cancelled
-    assert 0.0007 < secs < 0.0016, secs
+    # true marginal is exactly 1 ms/iter on the virtual clock
+    assert abs(secs - 0.001) < 1e-9, secs
     assert info["method"] == "differential"
