@@ -334,11 +334,20 @@ class HybridSpmmPlan:
         dia_backend: str = "auto",
         pack_cache=None,
         cache_name: Optional[str] = None,
+        precise: int = 0,
     ):
         """``pack_cache``/``cache_name``: optional ``PackCache`` routing for
         the residue pack (cache_name must be unique per split — e.g.
         ``f"{matrix}@n{n}-residue"`` — the cache's content fingerprint
-        protects non-trust_name callers either way)."""
+        protects non-trust_name callers either way).
+
+        ``precise``: 0 = fast path. 1/2 = the 1e-6-gate sample composition
+        (docs/ACCURACY.md): the residue kernel runs at the same precise
+        level with alpha=1/beta=0, the DIA kernel runs compensated, and the
+        parts combine through error-free transforms (ops/df32.py) with one
+        final rounding per element — instead of the fast path's chained
+        ``C_in = beta*C + alpha*(dense parts)`` feed into the residue,
+        which rounds at full magnitude once per stage."""
         import jax
         import jax.numpy as jnp
 
@@ -349,6 +358,7 @@ class HybridSpmmPlan:
         self.split = split
         self.m, self.k = split.m, split.k
         self.n = n
+        self.precise = int(precise)
 
         if residue_config is None or residue_fmt is None:
             from sextans_tpu.utils.autotune import choose_backend
@@ -379,6 +389,20 @@ class HybridSpmmPlan:
             packed = pack_ell(split.residue, residue_config)
         else:
             packed = pack(split.residue, residue_config)
+        if self.precise and not packed.config.precise:
+            # precise is kernel-only: swap the config on the (possibly
+            # cached) pack and share its device-upload memo — the packed
+            # arrays are identical (same trick as the suite's precise
+            # attempt, benchmarks/suite.py)
+            import dataclasses
+
+            repacked = dataclasses.replace(
+                packed, config=packed.config.with_(precise=self.precise)
+            )
+            repacked.__dict__["_dev_cache"] = packed.__dict__.setdefault(
+                "_dev_cache", {}
+            )
+            packed = repacked
         self._residue_plan = SpmmPlan(packed, n, backend=backend)
 
         # device-resident dense components
@@ -566,6 +590,99 @@ class HybridSpmmPlan:
             if not has_residue:
                 return partial
             return res_jit(*res_args, b, partial, alpha, jnp.float32(1.0))
+
+        if self.precise:
+            # Gate-sample composition (docs/ACCURACY.md): residue-first at
+            # alpha=1/beta=0 through the precise kernel, DIA compensated,
+            # and all parts combined with error-free transforms — ONE final
+            # rounding per element instead of one per stage. The remaining
+            # floor is each part's own f32 rounding (>= 0.5 ulp of its own
+            # magnitude) plus the MXU head contraction's internal rounding.
+            from sextans_tpu.ops.df32 import two_prod, two_sum
+
+            res_noc = self._residue_plan._jit_noc
+            prec_hi = jax.lax.Precision.HIGHEST
+
+            def dia_only(dv_arg, b):
+                """Compensated alpha=1/beta=0 diagonal part, (m, n) f32."""
+                n_cols = b.shape[1]
+                one = jnp.float32(1.0)
+                zero = jnp.float32(0.0)
+                if use_dia_kernel and use_dia_ct:
+                    from sextans_tpu.ops.spmm_dia_pallas import (
+                        spmm_dia_ct_padded,
+                    )
+
+                    bt = jnp.pad(
+                        jnp.transpose(b),
+                        ((0, n_ct_dia - n_cols), (pad_lo, 0)),
+                    )
+                    acc_t = spmm_dia_ct_padded(
+                        dv_arg, bt,
+                        jnp.zeros((n_ct_dia, m_pad_dia), jnp.float32),
+                        one, zero, offsets=tuple(offsets),
+                        tile_m=dia_tile_m, interpret=dia_interp,
+                        with_c=False, precise=True,
+                    )
+                    return jnp.transpose(acc_t)[:m, :n_cols]
+                if use_dia_kernel:
+                    from sextans_tpu.ops.spmm_dia_pallas import (
+                        spmm_dia_padded,
+                    )
+
+                    ncp = -(-n_cols // dia_tile_n) * dia_tile_n
+                    bp = jnp.pad(b, ((pad_lo, 0), (0, ncp - n_cols)))
+                    acc = spmm_dia_padded(
+                        dv_arg, bp,
+                        jnp.zeros((m_pad_dia, ncp), jnp.float32),
+                        one, zero, offsets=tuple(offsets),
+                        tile_m=dia_tile_m, tile_n=dia_tile_n,
+                        interpret=dia_interp, with_c=False, precise=True,
+                    )
+                    return acc[:m, :n_cols]
+                return dia_part(dv_arg, b, one)
+
+            def one_step(dense_args, res_args, b, c, alpha, beta):  # noqa: F811
+                args = list(dense_args)
+                acc, resid = two_prod(beta, c)
+                if has_diag:
+                    p, pe = two_prod(alpha, dia_only(args.pop(0), b))
+                    acc, e = two_sum(acc, p)
+                    resid = resid + (pe + e)
+                if has_head:
+                    head = args.pop(0)
+                    head_cols = args.pop(0)
+                    h = jnp.dot(
+                        head, b[head_cols, :],
+                        preferred_element_type=jnp.float32,
+                        precision=prec_hi,
+                    )
+                    p, pe = two_prod(alpha, h)
+                    acc, e = two_sum(acc, p)
+                    resid = resid + (pe + e)
+                if has_hrows:
+                    hrows, hrows_idx = args
+                    hout = jnp.dot(
+                        hrows, b,
+                        preferred_element_type=jnp.float32,
+                        precision=prec_hi,
+                    )  # (R, N)
+                    p, pe = two_prod(alpha, hout)
+                    s, e = two_sum(acc[hrows_idx], p)
+                    acc = acc.at[hrows_idx].set(s)  # head_rows are unique
+                    resid = resid.at[hrows_idx].add(pe + e)
+                if has_residue:
+                    if res_noc is not None:
+                        r_ = res_noc(*res_args, b, jnp.float32(1.0))
+                    else:
+                        r_ = res_jit(
+                            *res_args, b, jnp.zeros_like(c),
+                            jnp.float32(1.0), jnp.float32(0.0),
+                        )
+                    p, pe = two_prod(alpha, r_)
+                    acc, e = two_sum(acc, p)
+                    resid = resid + (pe + e)
+                return acc + resid
 
         def step(dense_args, res_args, b, c, alpha, beta):
             return one_step(dense_args, res_args, b, c, alpha, beta)

@@ -175,7 +175,9 @@ class SpmmPlan:
         if backend == "ell":
             from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
 
-            ell_kwargs = dict(m_block=cfg.tile_m, m_base=packed.m_base)
+            ell_kwargs = dict(
+                m_block=cfg.tile_m, m_base=packed.m_base, precise=cfg.precise
+            )
 
             def run(vals, cols_a, fold_a, _gmt, _gkw, b_p, c_p, alpha, beta,
                     with_c=True, **_):
@@ -197,6 +199,7 @@ class SpmmPlan:
                 m_block=ell_mb,
                 m_base=packed.m_base,
                 interpret=(backend == "ell_pallas_interpret"),
+                precise=cfg.precise,
             )
 
             def run(vals, cols_a, fold_a, _gmt, _gkw, b_p, c_p, alpha, beta,

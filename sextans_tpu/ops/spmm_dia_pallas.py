@@ -66,6 +66,7 @@ def _kernel(
     n_bblocks: int,
     tile_m: int,
     with_c: bool,
+    precise: bool,
 ):
     b_refs = rest[:n_bblocks]
     if with_c:
@@ -76,6 +77,7 @@ def _kernel(
     alpha = ab_ref[0, 0]
 
     acc = None
+    comp = None
     for dj, r0, blk in clusters:
         dv = dvt_ref[:, dj : dj + 1]  # (T, 1) sublane column
         if r0 == 0:
@@ -85,17 +87,39 @@ def _kernel(
             rows = jnp.concatenate(
                 [b_refs[blk][r0:, :], b_refs[blk + 1][:r0, :]], axis=0
             )
-        term = dv * rows
-        acc = term if acc is None else acc + term
-    total = alpha * acc
-    if with_c:
-        total = total + ab_ref[0, 1] * cin_ref[:, :]
-    out_ref[:, :] = total
+        if precise:
+            # exact product + Neumaier accumulate across diagonals
+            # (ops/df32.py)
+            from sextans_tpu.ops.df32 import acc_step, two_prod
+
+            p, pe = two_prod(dv, rows)
+            if acc is None:
+                acc, comp = p, -pe
+            else:
+                acc, comp = acc_step(acc, comp, p, pe)
+        else:
+            term = dv * rows
+            acc = term if acc is None else acc + term
+    if precise:
+        from sextans_tpu.ops.df32 import compensated_epilogue
+
+        out_ref[:, :] = compensated_epilogue(
+            alpha, acc, comp,
+            ab_ref[0, 1] if with_c else None,
+            cin_ref[:, :] if with_c else None,
+        )
+    else:
+        total = alpha * acc
+        if with_c:
+            total = total + ab_ref[0, 1] * cin_ref[:, :]
+        out_ref[:, :] = total
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "tile_m", "tile_n", "interpret", "with_c"),
+    static_argnames=(
+        "offsets", "tile_m", "tile_n", "interpret", "with_c", "precise"
+    ),
 )
 def spmm_dia_padded(
     dvals_t: jax.Array,  # (m_padded, D) f32 — diagonal values, transposed
@@ -109,6 +133,7 @@ def spmm_dia_padded(
     tile_n: int,
     interpret: bool = False,
     with_c: bool = True,
+    precise: bool = False,
 ) -> jax.Array:
     """Diagonal SpMM over padded operands.
 
@@ -172,6 +197,7 @@ def spmm_dia_padded(
         n_bblocks=n_bblocks,
         tile_m=tile_m,
         with_c=with_c,
+        precise=precise,
     )
 
     cost = pl.CostEstimate(
@@ -213,6 +239,7 @@ def _kernel_ct(
     clusters,  # static: tuple of (diag_index, r0, local block index)
     n_bblocks: int,
     with_c: bool,
+    precise: bool,
 ):
     b_refs = rest[:n_bblocks]
     if with_c:
@@ -223,6 +250,7 @@ def _kernel_ct(
     alpha = ab_ref[0, 0]
 
     acc = None
+    comp = None
     for dj, r0, blk in clusters:
         dv = dv_ref[dj : dj + 1, :]  # (1, T) lane row, sublane-broadcast
         if r0 == 0:
@@ -233,17 +261,35 @@ def _kernel_ct(
             cols = jnp.concatenate(
                 [b_refs[blk][:, r0:], b_refs[blk + 1][:, :r0]], axis=1
             )
-        term = dv * cols
-        acc = term if acc is None else acc + term
-    total = alpha * acc
-    if with_c:
-        total = total + ab_ref[0, 1] * cin_ref[:, :]
-    out_ref[:, :] = total
+        if precise:
+            from sextans_tpu.ops.df32 import acc_step, two_prod
+
+            p, pe = two_prod(dv, cols)
+            if acc is None:
+                acc, comp = p, -pe
+            else:
+                acc, comp = acc_step(acc, comp, p, pe)
+        else:
+            term = dv * cols
+            acc = term if acc is None else acc + term
+    if precise:
+        from sextans_tpu.ops.df32 import compensated_epilogue
+
+        out_ref[:, :] = compensated_epilogue(
+            alpha, acc, comp,
+            ab_ref[0, 1] if with_c else None,
+            cin_ref[:, :] if with_c else None,
+        )
+    else:
+        total = alpha * acc
+        if with_c:
+            total = total + ab_ref[0, 1] * cin_ref[:, :]
+        out_ref[:, :] = total
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "tile_m", "interpret", "with_c"),
+    static_argnames=("offsets", "tile_m", "interpret", "with_c", "precise"),
 )
 def spmm_dia_ct_padded(
     dvals: jax.Array,  # (D, m_padded) f32 — diagonal values, row-major
@@ -256,6 +302,7 @@ def spmm_dia_ct_padded(
     tile_m: int,
     interpret: bool = False,
     with_c: bool = True,
+    precise: bool = False,
 ) -> jax.Array:
     """Skinny-N diagonal SpMM on TRANSPOSED operands: M rides the 128-lane
     axis, so the VPU runs full-width at any N (the standard kernel pads N
@@ -315,6 +362,7 @@ def spmm_dia_ct_padded(
         clusters=tuple(kernel_clusters),
         n_bblocks=n_bblocks,
         with_c=with_c,
+        precise=precise,
     )
 
     cost = pl.CostEstimate(

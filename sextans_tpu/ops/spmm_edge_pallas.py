@@ -95,24 +95,37 @@ def _kernel(
         for j in range(L):
             col = (words[j] >> COL_SHIFT) & col_mask
             v = vals_ref[0, 0, base + j]
-            contrib = v * b_ref[0, pl.ds(col, 1), :]
+            pe = None
+            if precise >= 2:
+                # exact product (ops/df32.py): the per-edge v * B_row
+                # rounding joins the compensation — the gate-sample
+                # setting for rows whose budget is < 1 ulp of max|C|
+                from sextans_tpu.ops.df32 import two_prod
+
+                contrib, pe = two_prod(v, b_ref[0, pl.ds(col, 1), :])
+            else:
+                contrib = v * b_ref[0, pl.ds(col, 1), :]
             if masked:
                 # pad slots (bit 0) contribute exactly zero even when B
                 # carries Inf/NaN at the window's first row (0*Inf = NaN
                 # otherwise) — one vector select per edge buys IEEE-clean
                 # padding; off by default on the hot path
+                is_pad = (words[j] & 1) != 0
                 contrib = jnp.where(
-                    (words[j] & 1) != 0, jnp.zeros_like(contrib), contrib
+                    is_pad, jnp.zeros_like(contrib), contrib
                 )
+                if pe is not None:
+                    pe = jnp.where(is_pad, jnp.zeros_like(pe), pe)
             if precise:
-                # Kahan two-sum per lane register: hub rows accumulate
-                # thousands of edges into one register — the compensation
-                # recovers the low-order bits that serial chain drops
-                # (same convention as spmm_pallas.py: comp holds the amount
-                # by which the register OVERSTATES the true partial)
-                y = contrib - comps[j]
-                t_ = regs[j] + y
-                newc.append((t_ - regs[j]) - y)
+                # Neumaier-compensated lane register (ops/df32.py
+                # acc_step): hub rows accumulate thousands of edges into
+                # one register — the compensation recovers the low-order
+                # bits the serial chain drops (comp = the amount by which
+                # the register OVERSTATES the true partial)
+                from sextans_tpu.ops.df32 import acc_step
+
+                t_, c_new = acc_step(regs[j], comps[j], contrib, pe)
+                newc.append(c_new)
                 new.append(t_)
             else:
                 new.append(regs[j] + contrib)
@@ -129,12 +142,16 @@ def _kernel(
                 totalc = newc[0]
                 for j in range(1, L):
                     totalc = totalc + newc[j]
-                # two-sum the flush into the persistent (acc, comp) pair,
+                # exact two-sum flush into the persistent (acc, comp) pair,
                 # then fold in the lanes' own accumulated compensation
-                y = total - comp_ref[pl.ds(row, 1), :]
-                s_old = acc_ref[pl.ds(row, 1), :]
-                t_ = s_old + y
-                comp_ref[pl.ds(row, 1), :] = (t_ - s_old) - y + totalc
+                from sextans_tpu.ops.df32 import acc_step
+
+                t_, c_new = acc_step(
+                    acc_ref[pl.ds(row, 1), :],
+                    comp_ref[pl.ds(row, 1), :],
+                    total,
+                )
+                comp_ref[pl.ds(row, 1), :] = c_new + totalc
                 acc_ref[pl.ds(row, 1), :] = t_
             else:
                 acc_ref[pl.ds(row, 1), :] += total
@@ -154,13 +171,21 @@ def _kernel(
 
     @pl.when(is_last)
     def _epilogue():
-        total = acc_ref[...]
         if precise:
-            total = total - comp_ref[...]
-        if with_c:
-            out_ref[...] = ab_ref[0] * total + ab_ref[1] * cin_ref[...]
+            # double-float combine (ops/df32.py): one final rounding
+            from sextans_tpu.ops.df32 import compensated_epilogue
+
+            out_ref[...] = compensated_epilogue(
+                ab_ref[0], acc_ref[...], comp_ref[...],
+                ab_ref[1] if with_c else None,
+                cin_ref[...] if with_c else None,
+            )
         else:
-            out_ref[...] = ab_ref[0] * total
+            total = acc_ref[...]
+            if with_c:
+                out_ref[...] = ab_ref[0] * total + ab_ref[1] * cin_ref[...]
+            else:
+                out_ref[...] = ab_ref[0] * total
 
 
 @functools.partial(

@@ -62,6 +62,7 @@ def _kernel(
     r: int,
     ns: int,  # n_pad // 128; P = 8 // ns rows per chunk
     with_c: bool,
+    precise: bool,
 ):
     if with_c:
         cin_ref, out_ref, buf, sems = rest
@@ -107,18 +108,39 @@ def _kernel(
         # per 128-lane panel c: target sublane of row o is subw*ns + c
         # (pads: subw = -1 → target c - ns < 0 never matches → exact 0)
         accs = []
+        comps = []
         for c in range(ns):
             acc_c = jnp.zeros((8, 128), jnp.float32)
+            comp_c = jnp.zeros((8, 128), jnp.float32)
             for rr in range(r):
                 tgt = subw[:, rr] * ns + c  # (8,)
                 sel = sub_iota == tgt[:, None, None]  # (8, 8, 1)
                 part = jnp.sum(
                     jnp.where(sel, buf[slot, rr], 0.0), axis=1
                 )  # (8, 128)
-                acc_c = acc_c + w[:, rr][:, None] * part
+                if precise:
+                    # exact product + Neumaier accumulate per slot
+                    # (ops/df32.py): comp holds the overstatement, the
+                    # product error folds into it
+                    from sextans_tpu.ops.df32 import acc_step, two_prod
+
+                    p, pe = two_prod(w[:, rr][:, None], part)
+                    acc_c, comp_c = acc_step(acc_c, comp_c, p, pe)
+                else:
+                    acc_c = acc_c + w[:, rr][:, None] * part
             accs.append(acc_c)
+            comps.append(comp_c)
         acc = accs[0] if ns == 1 else jnp.concatenate(accs, axis=1)
-        if cin_ref is not None:
+        if precise:
+            from sextans_tpu.ops.df32 import compensated_epilogue
+
+            comp = comps[0] if ns == 1 else jnp.concatenate(comps, axis=1)
+            out_ref[g] = compensated_epilogue(
+                alpha, acc, comp,
+                beta if cin_ref is not None else None,
+                cin_ref[g] if cin_ref is not None else None,
+            )
+        elif cin_ref is not None:
             out_ref[g] = alpha * acc + beta * cin_ref[g]
         else:
             out_ref[g] = alpha * acc
@@ -129,7 +151,7 @@ def _kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("m_block", "m_base", "with_c", "interpret"),
+    static_argnames=("m_block", "m_base", "with_c", "interpret", "precise"),
 )
 def spmm_ell_gather_padded(
     vals: jax.Array,  # (m_padded, R) f32
@@ -144,6 +166,7 @@ def spmm_ell_gather_padded(
     m_base: int,
     with_c: bool = True,
     interpret: bool = False,
+    precise: bool = False,
 ) -> jax.Array:
     m_padded, r = vals.shape
     k_pad, n_pad = b_padded.shape
@@ -163,7 +186,7 @@ def spmm_ell_gather_padded(
                 jax.lax.dynamic_slice_in_dim(b_padded, j * 1024, 1024, 1),
                 jax.lax.dynamic_slice_in_dim(c_padded, j * 1024, 1024, 1),
                 alpha, beta, m_block=m_block, m_base=m_base,
-                with_c=with_c, interpret=interpret,
+                with_c=with_c, interpret=interpret, precise=precise,
             )
             for j in range(n_pad // 1024)
         ]
@@ -214,22 +237,29 @@ def spmm_ell_gather_padded(
         )
         args.append(c_padded.reshape(groups, 8, n_pad))
 
-    out = pl.pallas_call(
-        partial(_kernel, ng=ng, r=r, ns=ns, with_c=with_c),
-        grid=(n_blocks,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((ng, 8, n_pad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((groups, 8, n_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, r, 8, 8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, r)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(*args)
+    # The precise drivers trace this function under jax.enable_x64 (for
+    # the f64 fold below); the kernel body must NOT trace under it —
+    # fori_loop induction variables become i64 and Mosaic's memref_slice
+    # rejects them. Scope x64 off around the pallas_call only.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(
+                _kernel, ng=ng, r=r, ns=ns, with_c=with_c, precise=precise
+            ),
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ng, 8, n_pad), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((groups, 8, n_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, r, 8, 8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, r)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*args)
     out = out.reshape(m_padded, n_pad)
 
     n_virt = fold_rows.shape[0]
@@ -239,14 +269,41 @@ def spmm_ell_gather_padded(
         # alpha*AB_virt + beta*Cin_virt — strip the beta term before
         # folding so only alpha*AB_virt lands in the real rows (Cin_virt
         # is zero for plain calls but is a live carry in repeat chains)
-        add = jax.lax.dynamic_slice_in_dim(out, m_base, n_virt, 0)
-        if with_c:
-            add = add - beta.astype(jnp.float32) * jax.lax.dynamic_slice_in_dim(
-                c_padded, m_base, n_virt, 0
-            )
-        out = out.at[fold_rows].add(
-            add,
-            indices_are_sorted=True,
-            unique_indices=False,
+        import numpy as _np
+
+        use64 = precise and (
+            jax.dtypes.canonicalize_dtype(_np.float64) == _np.float64
         )
+        if use64:
+            # precise fold in f64 (XLA-emulated on TPU): a hub row folds
+            # deg/R virtual rows — each f32 scatter-add rounds at full
+            # magnitude, so the fold chain alone can cost O(sqrt(v)) ulp.
+            # Requires x64 enabled at trace time (the precise drivers wrap
+            # calls in jax.enable_x64); falls back to f32 otherwise.
+            add = jax.lax.dynamic_slice_in_dim(
+                out, m_base, n_virt, 0
+            ).astype(jnp.float64)
+            if with_c:
+                add = add - beta.astype(
+                    jnp.float64
+                ) * jax.lax.dynamic_slice_in_dim(
+                    c_padded, m_base, n_virt, 0
+                ).astype(jnp.float64)
+            out = (
+                out.astype(jnp.float64)
+                .at[fold_rows]
+                .add(add, indices_are_sorted=True, unique_indices=False)
+                .astype(jnp.float32)
+            )
+        else:
+            add = jax.lax.dynamic_slice_in_dim(out, m_base, n_virt, 0)
+            if with_c:
+                add = add - beta.astype(
+                    jnp.float32
+                ) * jax.lax.dynamic_slice_in_dim(c_padded, m_base, n_virt, 0)
+            out = out.at[fold_rows].add(
+                add,
+                indices_are_sorted=True,
+                unique_indices=False,
+            )
     return out

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 __all__ = ["spmm_ell_padded"]
 
 
-@partial(jax.jit, static_argnames=("m_block", "m_base", "with_c"))
+@partial(jax.jit, static_argnames=("m_block", "m_base", "with_c", "precise"))
 def spmm_ell_padded(
     vals: jax.Array,  # (m_padded, R) f32
     cols: jax.Array,  # (m_padded, R) i32
@@ -47,19 +47,34 @@ def spmm_ell_padded(
     m_block: int,
     m_base: int,
     with_c: bool = True,
+    precise: bool = False,
 ) -> jax.Array:
     m_padded, r = vals.shape
     n_padded = b_padded.shape[1]
     n_blocks = m_padded // m_block
+
+    import numpy as _np
+
+    # precise: widen the slot reduction, fold, and epilogue to f64 (native
+    # on CPU where this engine is the fast path; requires x64 enabled at
+    # trace time — the precise drivers wrap calls in jax.enable_x64)
+    use64 = precise and (
+        jax.dtypes.canonicalize_dtype(_np.float64) == _np.float64
+    )
+    acc_dt = jnp.float64 if use64 else jnp.float32
 
     def blk(xs):
         v, cl = xs  # (m_block, R)
         # unrolled slot loop: each step is gather -> multiply -> add, an
         # elementwise chain XLA can fuse without materializing a
         # (m_block, R, n) intermediate
-        acc = v[:, 0, None] * jnp.take(b_padded, cl[:, 0], axis=0)
+        acc = v[:, 0, None].astype(acc_dt) * jnp.take(
+            b_padded, cl[:, 0], axis=0
+        ).astype(acc_dt)
         for r_i in range(1, r):
-            acc = acc + v[:, r_i, None] * jnp.take(b_padded, cl[:, r_i], axis=0)
+            acc = acc + v[:, r_i, None].astype(acc_dt) * jnp.take(
+                b_padded, cl[:, r_i], axis=0
+            ).astype(acc_dt)
         return acc
 
     ab = jax.lax.map(
@@ -78,7 +93,9 @@ def spmm_ell_padded(
             unique_indices=False,
         )
 
-    a32 = alpha.astype(jnp.float32)
+    a_ = alpha.astype(acc_dt)
     if with_c:
-        return a32 * ab + beta.astype(jnp.float32) * c_padded
-    return a32 * ab
+        out = a_ * ab + beta.astype(acc_dt) * c_padded.astype(acc_dt)
+    else:
+        out = a_ * ab
+    return out.astype(jnp.float32)

@@ -87,13 +87,14 @@ def _kernel(
             precision=precision,
         )  # (128, tile_n)
         if precise:
-            # Kahan compensated accumulation across block visits
-            # (docs/ACCURACY.md); the within-contraction rounding of the
-            # MXU's f32 accumulate is the remaining, documented bound.
-            y = contrib - comp_ref[q]
-            s_old = acc_ref[q]
-            t = s_old + y
-            comp_ref[q] = (t - s_old) - y
+            # Neumaier-compensated accumulation across block visits
+            # (ops/df32.py; docs/ACCURACY.md); the within-contraction
+            # rounding of the MXU's f32 accumulate is the remaining,
+            # documented bound.
+            from sextans_tpu.ops.df32 import acc_step
+
+            t, c_new = acc_step(acc_ref[q], comp_ref[q], contrib)
+            comp_ref[q] = c_new
             acc_ref[q] = t
         else:
             acc_ref[q] += contrib
@@ -109,13 +110,22 @@ def _kernel(
         alpha = ab_ref[0]
         nslabs = tile_m // MSLAB
         for s in range(nslabs):
-            acc = acc_ref[s]
             if precise:
-                acc = acc - comp_ref[s]
-            total = alpha * acc
-            if with_c:
-                total = total + ab_ref[1] * cin_ref[pl.ds(s * MSLAB, MSLAB), :]
-            out_ref[pl.ds(s * MSLAB, MSLAB), :] = total
+                # double-float combine (ops/df32.py): one final rounding
+                from sextans_tpu.ops.df32 import compensated_epilogue
+
+                out_ref[pl.ds(s * MSLAB, MSLAB), :] = compensated_epilogue(
+                    alpha, acc_ref[s], comp_ref[s],
+                    ab_ref[1] if with_c else None,
+                    cin_ref[pl.ds(s * MSLAB, MSLAB), :] if with_c else None,
+                )
+            else:
+                total = alpha * acc_ref[s]
+                if with_c:
+                    total = total + ab_ref[1] * cin_ref[
+                        pl.ds(s * MSLAB, MSLAB), :
+                    ]
+                out_ref[pl.ds(s * MSLAB, MSLAB), :] = total
 
 
 @functools.partial(
@@ -324,10 +334,10 @@ def _kernel_ct(
             precision=precision,
         )  # (n_ct, 128)
         if precise:
-            y = contrib - comp_ref[q]
-            s_old = acc_ref[q]
-            t = s_old + y
-            comp_ref[q] = (t - s_old) - y
+            from sextans_tpu.ops.df32 import acc_step
+
+            t, c_new = acc_step(acc_ref[q], comp_ref[q], contrib)
+            comp_ref[q] = c_new
             acc_ref[q] = t
         else:
             acc_ref[q] += contrib
@@ -340,13 +350,21 @@ def _kernel_ct(
     def _epilogue():
         alpha = ab_ref[0]
         for s in range(tile_m // MSLAB):
-            acc = acc_ref[s]
             if precise:
-                acc = acc - comp_ref[s]
-            total = alpha * acc
-            if with_c:
-                total = total + ab_ref[1] * cin_ref[:, pl.ds(s * MSLAB, MSLAB)]
-            out_ref[:, pl.ds(s * MSLAB, MSLAB)] = total
+                from sextans_tpu.ops.df32 import compensated_epilogue
+
+                out_ref[:, pl.ds(s * MSLAB, MSLAB)] = compensated_epilogue(
+                    alpha, acc_ref[s], comp_ref[s],
+                    ab_ref[1] if with_c else None,
+                    cin_ref[:, pl.ds(s * MSLAB, MSLAB)] if with_c else None,
+                )
+            else:
+                total = alpha * acc_ref[s]
+                if with_c:
+                    total = total + ab_ref[1] * cin_ref[
+                        :, pl.ds(s * MSLAB, MSLAB)
+                    ]
+                out_ref[:, pl.ds(s * MSLAB, MSLAB)] = total
 
 
 @functools.partial(

@@ -83,31 +83,54 @@ def _kernel(
         """One 8 x bk block: gather B rows, broadcast-FMA into accumulator a."""
         q = qrow_ref[0, 0, i]
         col = bcol_ref[0, 0, i]
+        col = pl.multiple_of(col, bk)
         if bk >= 8:
             # bcol is block_k-aligned by construction → sublane-aligned load
-            col = pl.multiple_of(col, bk)
             brows = b_ref[0, pl.ds(col, bk), :]  # (bk, tile_n)
-            contrib = bv[:, 0:1] * brows[0:1, :]
-            for j in range(1, bk):
-                contrib = contrib + bv[:, j : j + 1] * brows[j : j + 1, :]
+            terms = [
+                (bv[:, j : j + 1], brows[j : j + 1, :]) for j in range(bk)
+            ]
         else:
-            col = pl.multiple_of(col, bk)
-            contrib = bv[:, 0:1] * b_ref[0, pl.ds(col, 1), :]
+            terms = [
+                (bv[:, j : j + 1], b_ref[0, pl.ds(col + j, 1), :])
+                for j in range(bk)
+            ]
+        cerr = None
+        if precise >= 2:
+            # Error-free-transformed inner chain (ops/df32.py): every
+            # product and partial sum keeps its exact residual, so the
+            # block contributes (contrib, cerr) with contrib + cerr exact.
+            # ~9x the inner-op count — the gate-sample setting, never the
+            # headline timing path.
+            from sextans_tpu.ops.df32 import two_prod, two_sum
+
+            contrib, cerr = two_prod(*terms[0])
             for j in range(1, bk):
-                contrib = contrib + bv[:, j : j + 1] * b_ref[0, pl.ds(col + j, 1), :]
+                p, pe = two_prod(*terms[j])
+                contrib, e = two_sum(contrib, p)
+                cerr = cerr + (pe + e)
+        else:
+            contrib = terms[0][0] * terms[0][1]
+            for j in range(1, bk):
+                contrib = contrib + terms[j][0] * terms[j][1]
         off = pl.multiple_of(q * 8, 8)
         # Alternating accumulator buffers break the store→load dependency
         # chain Mosaic must otherwise assume between dynamic slices of one
         # buffer (the TPU-native echo of DEP_DIST_LOAD_STORE, src/sextans.h:12
         # — but as a throughput hint, never a correctness requirement).
         if precise:
-            # Kahan compensated accumulation across block visits: recovers
-            # the low-order bits the plain f32 add chain drops, pushing the
-            # result to within ~1 ulp of the f64 oracle (docs/ACCURACY.md).
-            y = contrib - comp_ref[a, pl.ds(off, 8), :]
-            s_old = acc_ref[a, pl.ds(off, 8), :]
-            t = s_old + y
-            comp_ref[a, pl.ds(off, 8), :] = (t - s_old) - y
+            # Neumaier-compensated accumulation across block visits
+            # (ops/df32.py acc_step): recovers the low-order bits the plain
+            # f32 add chain drops, for ANY magnitude ordering
+            # (docs/ACCURACY.md).
+            from sextans_tpu.ops.df32 import acc_step
+
+            t, c_new = acc_step(
+                acc_ref[a, pl.ds(off, 8), :],
+                comp_ref[a, pl.ds(off, 8), :],
+                contrib, cerr,
+            )
+            comp_ref[a, pl.ds(off, 8), :] = c_new
             acc_ref[a, pl.ds(off, 8), :] = t
         else:
             acc_ref[a, pl.ds(off, 8), :] += contrib
@@ -134,17 +157,31 @@ def _kernel(
     @pl.when(is_last)
     def _epilogue():
         alpha = ab_ref[0]
-        total = acc_ref[0]
         if precise:
-            total = total - comp_ref[0]
-        for a in range(1, n_acc):
-            total = total + acc_ref[a]
-            if precise:
-                total = total - comp_ref[a]
-        if with_c:
-            out_ref[...] = alpha * total + ab_ref[1] * cin_ref[...]
+            # Double-float epilogue (ops/df32.py): merge the n_acc Kahan
+            # pairs exactly, then one compensated alpha/beta combine with a
+            # single final rounding — the last ~1 ulp the plain epilogue
+            # loses (the round-4 "precise-missed" band, docs/ACCURACY.md).
+            from sextans_tpu.ops.df32 import compensated_epilogue, two_sum
+
+            total = acc_ref[0]
+            tcomp = comp_ref[0]
+            for a in range(1, n_acc):
+                total, e = two_sum(total, acc_ref[a])
+                tcomp = tcomp + comp_ref[a] - e
+            out_ref[...] = compensated_epilogue(
+                alpha, total, tcomp,
+                ab_ref[1] if with_c else None,
+                cin_ref[...] if with_c else None,
+            )
         else:
-            out_ref[...] = alpha * total
+            total = acc_ref[0]
+            for a in range(1, n_acc):
+                total = total + acc_ref[a]
+            if with_c:
+                out_ref[...] = alpha * total + ab_ref[1] * cin_ref[...]
+            else:
+                out_ref[...] = alpha * total
 
 
 @functools.partial(

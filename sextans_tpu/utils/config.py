@@ -107,10 +107,17 @@ class SpmmConfig:
     # chunk_unroll != 1 requests FULL unroll of the chunk loop (Mosaic only
     # supports 1 or all); applied when the group has <= 16 chunks.
     chunk_unroll: int = 2
-    # precise — Kahan compensated accumulation across block visits in the
-    # Pallas kernels (extra VMEM compensation buffer): lands within ~1 ulp
-    # of the float64 oracle at a modest throughput cost (docs/ACCURACY.md).
-    precise: bool = False
+    # precise — compensated accumulation in the kernels (docs/ACCURACY.md;
+    # ops/df32.py):
+    #   0/False — fast path (plain f32 accumulate).
+    #   1/True  — Neumaier two_sum compensation across visits + the
+    #             double-float alpha/beta epilogue: ~1 ulp of the f64
+    #             oracle at a modest throughput cost.
+    #   2       — full error-free-transformed inner chain (every product
+    #             and partial sum compensated): faithful-to-correct
+    #             rounding, ~9x the inner-op count — the 1e-6-gate sample
+    #             setting, never a headline timing path.
+    precise: int = 0
     # edge_chunk — edges per grid step of the edge-stream kernel
     # (format/pack_edge.py + ops/spmm_edge_pallas.py), the structure-
     # independent path: per-edge decode like the reference PEG
@@ -146,6 +153,8 @@ class SpmmConfig:
             raise ValueError("tile_n must be a multiple of 128 (TPU lane count)")
         if self.n_acc < 1 or self.chunk_unroll < 1:
             raise ValueError("n_acc and chunk_unroll must be >= 1")
+        if int(self.precise) not in (0, 1, 2):
+            raise ValueError("precise must be 0/False, 1/True, or 2")
         if self.edge_chunk <= 0 or self.edge_chunk % 8 != 0:
             raise ValueError("edge_chunk must be a positive multiple of 8")
         if self.edge_lanes not in (1, 2, 4, 8):
