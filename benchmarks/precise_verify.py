@@ -183,8 +183,51 @@ def attempt_precise_gate(
     if best is None:
         return {"gate_note": "precise-failed:no-level-ran"}
     err, level, pplan = best
+    sample_backend = getattr(pplan, "backend", "hybrid")
+    # MXU contractions round internally (the systolic f32 accumulate has
+    # no EFT), so mxu/hybrid winners floor at ~0.6 ulp — above the gate
+    # when ulp(max|C|) ~ 1.9e-6. The VPU EFT kernel is measured correctly
+    # rounded (excess-over-floor = 0, benchmarks/scratch/
+    # precise_floor_probe.py); run it as the gate sample for the same
+    # (matrix, N, alpha, beta) workload and stamp its backend.
+    if err > 1e-6 and sample_backend != "pallas":
+        try:
+            from sextans_tpu.format.pack import pack as _pack
+            from sextans_tpu.ops.plan import SpmmPlan
+            from sextans_tpu.utils.autotune import choose_config
+
+            vcfg = choose_config(coo, n=n, top=1)[0].config.with_(precise=2)
+            if pack_cache is not None:
+                vpacked = pack_cache.get_or_pack(
+                    name, coo, vcfg.with_(precise=0), "vpu", False
+                )
+                vpacked = dataclasses.replace(vpacked, config=vcfg)
+            else:
+                vpacked = _pack(coo, vcfg)
+            vplan = SpmmPlan(vpacked, n, backend="pallas")
+            vgot_dev = vplan(b_dev, alpha, beta, c_dev)
+            verr = float(np.abs(fetch(vgot_dev) - exact).max())
+            if verr <= 1e-6 and full_device:
+                from sextans_tpu.utils.device_verify import (
+                    device_full_check,
+                )
+
+                fv = device_full_check(
+                    vgot_dev, csr, b_dev, alpha, beta,
+                    c_host if c_host is not None else np.asarray(c_dev),
+                )
+                verr = max(verr, fv["max_abs_vs_f64"])
+            vgot_dev = None
+            log(f"  precise vpu-fallback: max_abs {verr:.2e}"
+                f" ({verr / ulp:.2f} ulp)")
+            if verr < err:
+                err, level, pplan = verr, 2, vplan
+                sample_backend = "pallas"
+        except Exception as e:
+            log(f"  precise vpu-fallback failed: {str(e)[:120]}")
     sample = {
         "level": level,
+        "backend": sample_backend,
         "max_abs_vs_f64": err,
         "max_abs_vs_f64_ulp": round(err / ulp, 2),
     }

@@ -115,6 +115,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Honor an explicit cpu request BEFORE any backend initializes: the
+    # environment's sitecustomize pins jax_platforms="axon,cpu" (the env
+    # var alone is ignored), and once the TPU client is live a mid-run
+    # jax_platforms update no longer changes jax.devices() — which made
+    # `JAX_PLATFORMS=cpu ... --shards S` on the virtual CPU mesh
+    # impossible from a TPU-attached shell.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     print("start host")
 
     n = round_up(args.N, 8)
@@ -245,9 +257,34 @@ def main(argv=None) -> int:
     from sextans_tpu.utils.timing import time_repeat
 
     if args.shards is not None and split is not None:
-        print("--shards is incompatible with --hybrid; ignoring --hybrid")
-        split = None
-    if args.shards is not None:
+        # Row-sharded hybrid: the structure split runs on the mesh with
+        # the same single-datapath property as the reference
+        # (src/sextans.cpp:886-983) — parallel/hybrid_sharded.py.
+        from sextans_tpu.parallel.hybrid_sharded import ShardedHybridPlan
+        from sextans_tpu.parallel.sharding import make_mesh as _mk
+
+        if args.shard_mode == "k":
+            print("--hybrid shards row-wise; ignoring --shard-mode k")
+        if len(jax.devices()) < args.shards:
+            jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < args.shards:
+            print(
+                f"need {args.shards} devices, have {len(jax.devices())} "
+                "(set XLA_FLAGS=--xla_force_host_platform_device_count)"
+            )
+            return 2
+        mesh = _mk(args.shards)
+        t0 = time.perf_counter()
+        pl = ShardedHybridPlan(split, n, mesh=mesh)
+        print(
+            f"sharded hybrid pack "
+            f"({(time.perf_counter() - t0) * 1e3:.1f} msec): "
+            f"{args.shards} shards (row-mode, "
+            f"residue fmt={pl.residue_fmt}), "
+            f"m_local={pl.sharded_residue.m_local}"
+        )
+        print(f"mesh: {mesh}")
+    elif args.shards is not None:
         # Multi-chip path: pack per shard and execute under shard_map over
         # the device mesh (SURVEY.md §2.4 "multi-device"). Falls back to the
         # virtual CPU mesh (the hwsim analog) when the process has fewer

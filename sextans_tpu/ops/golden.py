@@ -75,7 +75,16 @@ def golden_spmm_exact(
     reference triple loop, in f64, with O(M*N) memory; the NumPy fallback
     chunks rows so the nnz-by-N contribution buffer stays bounded (a full
     materialization is ~190 GB for ldoor-class matrices at N=512).
+
+    alpha/beta are rounded through float32 BEFORE widening: every kernel
+    (and the reference host, src/sextans-host.cpp:29-30) consumes f32
+    scalars, so an oracle scaling by the f64 literal (0.85 vs
+    f32(0.85) = 0.85000002384...) would measure a 2.4e-8-relative
+    phantom error (~0.2 ulp of max|C|) that no f32 kernel can close —
+    found while banking the 1e-6 gate in round 5 (docs/ACCURACY.md).
     """
+    alpha = float(np.float32(alpha))
+    beta = float(np.float32(beta))
     m, k = a.shape
     n = b.shape[1]
     b64 = np.asarray(b, dtype=np.float64)

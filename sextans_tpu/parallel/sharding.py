@@ -38,6 +38,91 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_local_kernel(cfg, backend: str, tile_n: int, m_local: int):
+    """Per-shard kernel dispatch shared by the row-sharded plans.
+
+    Returns ``run(vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta)
+    -> (m_local, n_padded)`` operating on ONE shard's (unstacked) arrays —
+    the single-chip engine switch of ops/plan.py reduced to the padded
+    entry points, used inside shard_map by ShardedSpmmPlan and
+    ShardedHybridPlan (parallel/hybrid_sharded.py)."""
+
+    def run(vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta):
+        if backend in ("ell", "ell_pallas", "ell_pallas_interpret"):
+            # the shard's slot grid carries virtual hub rows beyond the
+            # m_local C slab: pad C in, slice the fold-resolved rows out
+            m_pad_l = vals.shape[0]
+            c_pad = jnp.pad(c_loc, ((0, m_pad_l - m_local), (0, 0)))
+            if backend == "ell":
+                from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
+
+                out = spmm_ell_padded(
+                    vals, qrow, bcol, b_pad, c_pad, alpha, beta,
+                    m_block=cfg.tile_m, m_base=m_local,
+                )
+            else:
+                from sextans_tpu.ops.spmm_ell_pallas import (
+                    spmm_ell_gather_padded,
+                )
+
+                out = spmm_ell_gather_padded(
+                    vals, qrow, bcol, b_pad, c_pad, alpha, beta,
+                    m_block=cfg.tile_m if cfg.tile_m % 256 else 256,
+                    m_base=m_local,
+                    interpret=(backend == "ell_pallas_interpret"),
+                )
+            return out[:m_local]
+        kernel_kwargs = dict(
+            tile_m=cfg.tile_m,
+            window_k=cfg.window_k,
+            block_k=cfg.block_k,
+            group_blocks=cfg.group_blocks,
+        )
+        if backend == "xla":
+            from sextans_tpu.ops.spmm_xla import spmm_xla_padded
+
+            return spmm_xla_padded(
+                vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
+                **kernel_kwargs,
+            )
+        if backend in ("edge", "edge_interpret"):
+            from sextans_tpu.ops.spmm_edge_pallas import spmm_edge_padded
+
+            return spmm_edge_padded(
+                vals, qrow, gmt, gkw, b_pad, c_loc, alpha, beta,
+                tile_m=cfg.tile_m,
+                window_k=cfg.window_k,
+                edge_chunk=cfg.edge_chunk,
+                edge_lanes=cfg.edge_lanes,
+                tile_n=tile_n,
+                interpret=(backend == "edge_interpret"),
+            )
+        if backend in ("mxu", "mxu_interpret"):
+            from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded
+
+            return spmm_mxu_padded(
+                vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
+                **kernel_kwargs,
+                tile_n=tile_n,
+                interpret=(backend == "mxu_interpret"),
+                unroll=cfg.chunk_unroll,
+                precise=cfg.precise,
+            )
+        from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
+
+        return spmm_pallas_padded(
+            vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
+            **kernel_kwargs,
+            tile_n=tile_n,
+            interpret=(backend == "pallas_interpret"),
+            n_acc=cfg.n_acc,
+            chunk_unroll=cfg.chunk_unroll,
+            precise=cfg.precise,
+        )
+
+    return run
+
+
 class ShardedSpmmPlan:
     """Device-resident row-block-sharded executor (multi-chip SpmmPlan).
 
@@ -112,83 +197,14 @@ class ShardedSpmmPlan:
         S, m_local = sharded.n_shards, sharded.m_local
         tile_n = self.tile_n
 
-        kernel_kwargs = dict(
-            tile_m=cfg.tile_m,
-            window_k=cfg.window_k,
-            block_k=cfg.block_k,
-            group_blocks=cfg.group_blocks,
-        )
+        run_local = make_local_kernel(cfg, backend, tile_n, m_local)
 
         def local_step(vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta):
             # shard_map hands each device its (1, ...) slice — drop the axis.
-            vals, qrow, bcol = vals[0], qrow[0], bcol[0]
-            gmt, gkw, c_loc = gmt[0], gkw[0], c_loc[0]
-            if backend in ("ell", "ell_pallas", "ell_pallas_interpret"):
-                # the shard's slot grid carries virtual hub rows beyond the
-                # m_local C slab: pad C in, slice the fold-resolved rows out
-                m_pad_l = vals.shape[0]
-                c_pad = jnp.pad(c_loc, ((0, m_pad_l - m_local), (0, 0)))
-                if backend == "ell":
-                    from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
-
-                    out = spmm_ell_padded(
-                        vals, qrow, bcol, b_pad, c_pad, alpha, beta,
-                        m_block=cfg.tile_m, m_base=m_local,
-                    )
-                else:
-                    from sextans_tpu.ops.spmm_ell_pallas import (
-                        spmm_ell_gather_padded,
-                    )
-
-                    out = spmm_ell_gather_padded(
-                        vals, qrow, bcol, b_pad, c_pad, alpha, beta,
-                        m_block=cfg.tile_m if cfg.tile_m % 256 else 256,
-                        m_base=m_local,
-                        interpret=(backend == "ell_pallas_interpret"),
-                    )
-                return out[:m_local][None]
-            if backend == "xla":
-                from sextans_tpu.ops.spmm_xla import spmm_xla_padded
-
-                out = spmm_xla_padded(
-                    vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
-                    **kernel_kwargs,
-                )
-            elif backend in ("edge", "edge_interpret"):
-                from sextans_tpu.ops.spmm_edge_pallas import spmm_edge_padded
-
-                out = spmm_edge_padded(
-                    vals, qrow, gmt, gkw, b_pad, c_loc, alpha, beta,
-                    tile_m=cfg.tile_m,
-                    window_k=cfg.window_k,
-                    edge_chunk=cfg.edge_chunk,
-                    edge_lanes=cfg.edge_lanes,
-                    tile_n=tile_n,
-                    interpret=(backend == "edge_interpret"),
-                )
-            elif backend in ("mxu", "mxu_interpret"):
-                from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded
-
-                out = spmm_mxu_padded(
-                    vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
-                    **kernel_kwargs,
-                    tile_n=tile_n,
-                    interpret=(backend == "mxu_interpret"),
-                    unroll=cfg.chunk_unroll,
-                    precise=cfg.precise,
-                )
-            else:
-                from sextans_tpu.ops.spmm_pallas import spmm_pallas_padded
-
-                out = spmm_pallas_padded(
-                    vals, qrow, bcol, gmt, gkw, b_pad, c_loc, alpha, beta,
-                    **kernel_kwargs,
-                    tile_n=tile_n,
-                    interpret=(backend == "pallas_interpret"),
-                    n_acc=cfg.n_acc,
-                    chunk_unroll=cfg.chunk_unroll,
-                    precise=cfg.precise,
-                )
+            out = run_local(
+                vals[0], qrow[0], bcol[0], gmt[0], gkw[0], b_pad, c_loc[0],
+                alpha, beta,
+            )
             return out[None]
 
         inner = jax.shard_map(

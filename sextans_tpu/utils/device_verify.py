@@ -112,8 +112,10 @@ def device_full_check(
         )
     with jax.enable_x64(True):
         b32 = jnp.asarray(b, dtype=jnp.float32)
-        a64 = jnp.float64(alpha)
-        bt64 = jnp.float64(beta)
+        # widen the f32 scalars the kernels actually consume, not the f64
+        # literals (see golden_spmm_exact's alpha/beta note)
+        a64 = jnp.float64(np.float32(alpha))
+        bt64 = jnp.float64(np.float32(beta))
         with_c = c is not None and float(beta) != 0.0
         err = 0.0
         cmax = 0.0
