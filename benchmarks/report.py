@@ -88,7 +88,7 @@ def main(paths, merged_out=None):
         cells = []
         nnz = ""
         worst_ulp = None
-        gate = False
+        gate_met, gate_unreach, gate_miss = 0, 0, 0
         for n in ns:
             e = best.get((mname, n))
             if e is None:
@@ -108,10 +108,23 @@ def main(paths, merged_out=None):
             u = r.get("max_abs_vs_f64_ulp")
             if u is not None and (worst_ulp is None or u > worst_ulp):
                 worst_ulp = u
-            gate = gate or r.get("meets_1e6_gate", False)
+            if r.get("meets_1e6_gate"):
+                gate_met += 1
+            elif r.get("gate_unreachable"):
+                gate_unreach += 1
+            else:
+                gate_miss += 1
         err = "—" if worst_ulp is None else f"≤{worst_ulp:.1f}"
-        if gate:
+        # 1e-6-gate column (BASELINE.md north star): ✓ = every row meets it
+        # (measured precise sample, benchmarks/precise_verify.py); ⊘ = the
+        # gate is representation-impossible on every row (ulp(max|C|) >
+        # 2e-6, docs/ACCURACY.md); a fraction = partially banked.
+        if gate_miss == 0 and gate_met > 0:
             err += " ✓1e-6"
+        elif gate_miss == 0 and gate_unreach > 0:
+            err += " ⊘1e-6"
+        elif gate_met > 0:
+            err += f" {gate_met}/{gate_met + gate_miss} 1e-6"
         print(f"| {mname} | {nnz} | " + " | ".join(cells) + f" | {err} |")
     print()
     if any(e[0].get("timing", {}).get("method") == "amortized"
@@ -128,6 +141,14 @@ def main(paths, merged_out=None):
         print("§ verified on a deterministic stratified row sample "
               "(full C exceeds the 512 MB fetch budget of the 1-CPU host; "
               "the error columns cover the sampled rows).")
+        print()
+    if any(e[0].get("gate_unreachable") for e in best.values()):
+        print("⊘1e-6: the literal 1e-6 max-abs gate is representation-"
+              "impossible on every row of this matrix (one f32 ulp of "
+              "max|C| exceeds 2e-6 — docs/ACCURACY.md); ✓1e-6: every row "
+              "meets the gate, via the fast kernel or a measured precise "
+              "sample (the `precise_sample` field carries its own "
+              "kernel/level/timing provenance).")
         print()
     for p in paths:
         doc = json.load(open(p))

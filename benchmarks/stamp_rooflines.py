@@ -1,0 +1,107 @@
+"""Stamp measured-roofline evidence on scattered-class rows below the
+reference's ~259 GFLOPS structural peak (VERDICT r4 #3, second arm).
+
+The FPGA sustains 64 nnz/cycle on ANY structure because each of its 64
+PEs decodes an arbitrary B column per cycle from URAM banks
+(src/sextans.cpp:388-419, sextans.h:7). The TPU has no 1-cycle random
+row access: the structure-independent engines are bound by the measured
+per-edge costs (VPU dynamic-sublane extract ~20-26 cycles, Pallas
+chunk-gather DMA issue ~26-48 cycles — benchmarks/scratch probes,
+docs/DESIGN.md). For every N=512 row under 259 GFLOPS this stamper
+records, next to the measured number:
+
+* the CURRENT analytic best across every engine family (cycles -> GFLOPS
+  at the calibrated 0.94 GHz v5e clock) — the model roofline;
+* the ratio measured/model — a row at >= ~0.7x its model bound with race
+  provenance is AT its engine's measured floor, not under-tuned;
+* which families the deciding race actually measured (from the row's
+  race log).
+
+Usage: python benchmarks/stamp_rooflines.py --results benchmarks/results_r5.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE.parent))
+
+CLOCK_HZ = 0.94e9
+U280_CLASS_GFLOPS = 259.0
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results", default=str(HERE / "results_r5.json"))
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--threshold", type=float, default=U280_CLASS_GFLOPS)
+    args = ap.parse_args(argv)
+
+    from benchmarks.matrices import suite
+    from benchmarks.suite import _gen_cached, cover_upper_bound
+    from sextans_tpu.utils.autotune import choose_backend, hybrid_cost
+
+    doc = json.loads(Path(args.results).read_text())
+    gens = suite("full")
+    coo_cache = {}
+    stamped = 0
+    for r in doc.get("results", []):
+        if r.get("n") != args.n or "gflops" not in r:
+            continue
+        if r["gflops"] >= args.threshold:
+            r.pop("scatter_roofline", None)
+            continue
+        name = r["matrix"]
+        if name not in gens:
+            continue
+        if name not in coo_cache:
+            coo_cache[name] = _gen_cached(name, gens[name])
+        coo = coo_cache[name]
+        flops = 2.0 * args.n * (coo.nnz + coo.shape[0])
+        picks = choose_backend(coo, n=args.n, top=4)
+        fam_gf = {
+            p.fmt: round(flops / (p.predicted_cost / CLOCK_HZ) / 1e9, 1)
+            for p in picks
+        }
+        if cover_upper_bound(coo) >= 0.3 and coo.nnz >= 50_000:
+            try:
+                from sextans_tpu.ops.hybrid import split_structure
+
+                h = hybrid_cost(split_structure(coo, n=args.n), n=args.n)
+                fam_gf["hybrid"] = round(flops / (h / CLOCK_HZ) / 1e9, 1)
+            except Exception:
+                pass
+        model_best = max(fam_gf.values())
+        raced = sorted(
+            {e.get("fmt") for e in r.get("race") or [] if "ms" in e}
+        )
+        r["scatter_roofline"] = {
+            "model_gflops_by_family": fam_gf,
+            "model_best_gflops": model_best,
+            "measured_over_model": round(r["gflops"] / max(model_best, 1e-9), 2),
+            "families_raced": raced,
+            "note": (
+                "at the measured engine floor"
+                if r["gflops"] >= 0.7 * model_best
+                else "below model — re-race candidate"
+            ),
+        }
+        stamped += 1
+        log(f"{name} N={args.n}: {r['gflops']} GF vs model best "
+            f"{model_best} GF ({r['scatter_roofline']['note']}); "
+            f"raced={raced}")
+    Path(args.results).write_text(json.dumps(doc, indent=1))
+    log(f"stamped {stamped} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
