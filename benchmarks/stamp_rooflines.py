@@ -33,6 +33,27 @@ sys.path.insert(0, str(HERE.parent))
 CLOCK_HZ = 0.94e9
 U280_CLASS_GFLOPS = 259.0
 
+# HBM bandwidths for the cross-silicon roofline columns (public figures:
+# jax-ml.github.io/scaling-book for v5e; NVIDIA A100-80GB datasheet).
+V5E_HBM = 8.1e11
+A100_HBM = 2.0e12
+
+
+def bw_roofline_gflops(nnz: int, m: int, k: int, n: int, hbm: float) -> float:
+    """Structure-independent SpMM bandwidth roofline for one device.
+
+    Byte model (the cuSPARSE-class CSR traffic floor, every operand
+    touched once): A = 8 B/nnz (value + column index), B = 4*K*N read
+    once (perfect reuse — generous to the device), C = 8*M*N (read +
+    write). Published cuSPARSE evaluations on scattered matrices land at
+    10-30% of this floor (load balance, index processing); the column is
+    an upper bound on ANY SpMM engine on that silicon, which is what the
+    parity-per-silicon argument needs (docs/ROOFLINES.md).
+    """
+    flops = 2.0 * n * (nnz + m)
+    bytes_ = 8.0 * nnz + 4.0 * k * n + 8.0 * m * n
+    return flops / (bytes_ / hbm) / 1e9
+
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
@@ -54,7 +75,20 @@ def main(argv=None):
     coo_cache = {}
     stamped = 0
     for r in doc.get("results", []):
-        if r.get("n") != args.n or "gflops" not in r:
+        if "gflops" not in r:
+            continue
+        # cross-silicon bandwidth rooflines on EVERY row (the
+        # cuSPARSE-A100 parity-on-paper column, BASELINE.md north star)
+        v5e_bw = bw_roofline_gflops(r["nnz"], r["m"], r["k"], r["n"], V5E_HBM)
+        r["bw_roofline"] = {
+            "v5e_gflops": round(v5e_bw, 1),
+            "a100_gflops": round(
+                bw_roofline_gflops(r["nnz"], r["m"], r["k"], r["n"], A100_HBM),
+                1,
+            ),
+            "measured_over_v5e_bw": round(r["gflops"] / max(v5e_bw, 1e-9), 3),
+        }
+        if r.get("n") != args.n:
             continue
         if r["gflops"] >= args.threshold:
             r.pop("scatter_roofline", None)
