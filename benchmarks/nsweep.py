@@ -106,6 +106,16 @@ def main(argv=None):
                 Path(args.out).write_text(
                     json.dumps({"session": session, "results": rows}, indent=1)
                 )
+            if "RESOURCE_EXHAUSTED" in str(rec.get("error", "")):
+                # a device OOM poisons the client process for good
+                # (STATUS.md): every later row would be garbage — publish
+                # what exists and end the sweep
+                log("device OOM: client poisoned; ending the sweep")
+                doc = {"session": session, "results": rows}
+                print(json.dumps(doc, indent=1))
+                if args.out:
+                    Path(args.out).write_text(json.dumps(doc, indent=1))
+                return 0
 
     doc = {"session": session, "results": rows}
     print(json.dumps(doc, indent=1))

@@ -181,9 +181,14 @@ def attempt_precise_gate(
         if err <= 1e-6:
             break
     if best is None:
-        return {"gate_note": "precise-failed:no-level-ran"}
-    err, level, pplan = best
-    sample_backend = getattr(pplan, "backend", "hybrid")
+        # both levels failed (e.g. the winner's tiles blow the precise
+        # epilogue's VMEM — check_kernel_vmem); the safe-tile vpu fallback
+        # below is still a valid gate sample for the workload
+        err, level, pplan = float("inf"), 0, None
+        sample_backend = None
+    else:
+        err, level, pplan = best
+        sample_backend = getattr(pplan, "backend", "hybrid")
     # MXU contractions round internally (the systolic f32 accumulate has
     # no EFT), so mxu/hybrid winners floor at ~0.6 ulp — above the gate
     # when ulp(max|C|) ~ 1.9e-6. The VPU EFT kernel is measured correctly
@@ -196,7 +201,18 @@ def attempt_precise_gate(
             from sextans_tpu.ops.plan import SpmmPlan
             from sextans_tpu.utils.autotune import choose_config
 
-            vcfg = choose_config(coo, n=n, top=1)[0].config.with_(precise=2)
+            base = choose_config(coo, n=n, top=1)[0].config
+            # The gate sample does not need the winner's tiles — any
+            # compilable precise config proves the workload gate. Clamp
+            # to tiles whose compensated-epilogue working set fits VMEM
+            # (unclamped 4096x512 tiles crash the Mosaic compiler —
+            # check_kernel_vmem's epilogue_bytes note).
+            vcfg = base.with_(
+                precise=2,
+                tile_m=min(base.tile_m, 1024),
+                tile_n=min(base.resolve_tile_n(n), 256),
+                window_k=min(base.window_k, 8192),
+            )
             if pack_cache is not None:
                 vpacked = pack_cache.get_or_pack(
                     name, coo, vcfg.with_(precise=0), "vpu", False
@@ -225,6 +241,8 @@ def attempt_precise_gate(
                 sample_backend = "pallas"
         except Exception as e:
             log(f"  precise vpu-fallback failed: {str(e)[:120]}")
+    if pplan is None:
+        return {"gate_note": "precise-failed:no-level-ran"}
     sample = {
         "level": level,
         "backend": sample_backend,

@@ -244,6 +244,9 @@ def spmm_pallas_padded(
             b_window_bytes=4 * window_k * tile_n,
             c_bytes=4 * (2 if with_c else 1) * tile_m * tile_n,
             vals_bytes=4 * G * bk * 8,
+            # the compensated epilogue holds ~8 full-tile EFT temporaries
+            # live at once (see check_kernel_vmem)
+            epilogue_bytes=(8 * 4 * tile_m * tile_n) if precise else 0,
         )
 
     b3 = b_padded.reshape(n_kwins, window_k, n_padded)

@@ -33,6 +33,7 @@ def check_kernel_vmem(
     b_window_bytes: int,
     c_bytes: int,
     vals_bytes: int,
+    epilogue_bytes: int = 0,
     limit: int = VMEM_BYTES,
 ) -> None:
     """Reject kernel configs whose VMEM working set cannot fit.
@@ -42,14 +43,24 @@ def check_kernel_vmem(
     otherwise die inside the TPU compiler with an opaque scoped-vmem OOM —
     the autotuner must see a typed error it can log and skip instead.
     ``acc_bytes`` (kernel scratch) is single-copy; ``c_bytes`` already
-    includes the C-in + C-out pair.
+    includes the C-in + C-out pair. ``epilogue_bytes`` models the peak of
+    full-tile temporaries the epilogue keeps live at once — ~zero for the
+    plain ``alpha*acc + beta*cin`` form, but the compensated (precise)
+    epilogue's error-free transforms hold ~8 (tile_m, tile_n) vectors
+    live (ops/df32.py compensated_epilogue: two two_prod splits, a
+    two_sum, and their residuals), which is what crashed the Mosaic
+    compiler on 4096x512-tile precise configs (v5e, 2026-08) while the
+    fast twin of the same config compiled fine.
     """
-    total = acc_bytes + 2 * (b_window_bytes + c_bytes + vals_bytes)
+    total = acc_bytes + epilogue_bytes + 2 * (
+        b_window_bytes + c_bytes + vals_bytes
+    )
     if total > limit:
         raise ValueError(
             f"kernel VMEM working set {total / 2**20:.1f} MiB "
             f"(double-buffered) exceeds {limit / 2**20:.1f} MiB "
             f"(acc {acc_bytes / 2**20:.1f} + "
+            f"epilogue {epilogue_bytes / 2**20:.1f} + "
             f"2*B window {2 * b_window_bytes / 2**20:.1f} + "
             f"2*C {2 * c_bytes / 2**20:.1f} + "
             f"2*vals {2 * vals_bytes / 2**20:.1f}); "

@@ -487,3 +487,47 @@ def test_merge_stamps_gate_note_without_cmaxabs(tmp_path):
     # c_max_abs=100 -> ulp(f32 100.0) ~ 7.6e-6 > 2e-6 -> structurally
     # unreachable for an f32 kernel
     assert rows["ulp"]["gate_unreachable"] is True
+
+
+def test_merge_carries_gate_evidence_to_faster_winner(tmp_path):
+    """The 1e-6 gate is a (matrix, N) workload property: a faster re-raced
+    winner whose own precise attempt failed (compile outage) must inherit
+    the gate banked on a slower healthy sample, not demote it to false."""
+    import json as _json
+
+    from benchmarks.overnight import merge
+
+    ses = {"nasa_canary_ms": 0.2, "canary_healthy_ms": 0.5}
+    gated = {
+        "matrix": "amz", "n": 512, "gflops": 8.15, "fmt": "vpu",
+        "meets_1e6_gate": True, "gate_note": "precise-gate:level1",
+        "precise_sample": {"level": 1, "backend": "pallas",
+                           "max_abs_vs_f64": 9.1e-07},
+        "c_max_abs": 20.0,
+        "canary_pre_ms": 0.2, "canary_post_ms": 0.2,
+    }
+    faster = {
+        "matrix": "amz", "n": 512, "gflops": 27.97, "fmt": "ell",
+        "meets_1e6_gate": False,
+        "gate_note": "precise-failed:no-level-ran",
+        "c_max_abs": 20.0,
+        "canary_pre_ms": 0.2, "canary_post_ms": 0.2,
+    }
+    p1 = tmp_path / "pass_01.json"
+    p1.write_text(_json.dumps({"session": ses, "results": [gated]}))
+    p2 = tmp_path / "pass_02.json"
+    p2.write_text(_json.dumps({"session": ses, "results": [faster]}))
+    out = tmp_path / "merged.json"
+    merge([p1, p2], out)
+    rows = _json.loads(out.read_text())["results"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["gflops"] == 27.97  # headline stays the fastest healthy sample
+    assert r["meets_1e6_gate"] is True  # gate rides the workload evidence
+    assert r["gate_note"] == "precise-gate:level1(carried)"
+    assert r["precise_sample"]["carried_from"] == str(p1)
+    # a merged sample that is already the strongest evidence is untouched
+    merge([p1], out)
+    only = _json.loads(out.read_text())["results"][0]
+    assert only["gate_note"] == "precise-gate:level1"
+    assert "carried_from" not in only["precise_sample"]
