@@ -145,6 +145,23 @@ def merge(pass_files, out_path):
                 # false silent (a re-race replaces the row with stamped
                 # evidence; until then the note records the gap)
                 r["gate_note"] = "precise-not-attempted:pre-r4-row-no-ulp"
+    # Cross-silicon bandwidth roofline (pure arithmetic from row fields;
+    # docs/ROOFLINES.md). Stamped at merge time so a re-merge can never
+    # wipe the parity-on-paper columns — the heavier scatter-model stamp
+    # stays in stamp_rooflines.py (needs matrix generation).
+    from benchmarks.stamp_rooflines import A100_HBM, V5E_HBM, bw_roofline_gflops
+
+    for r in rows:
+        if not all(k in r for k in ("gflops", "nnz", "m", "k", "n")):
+            continue
+        v5e_bw = bw_roofline_gflops(r["nnz"], r["m"], r["k"], r["n"], V5E_HBM)
+        r["bw_roofline"] = {
+            "v5e_gflops": round(v5e_bw, 1),
+            "a100_gflops": round(
+                bw_roofline_gflops(r["nnz"], r["m"], r["k"], r["n"], A100_HBM), 1
+            ),
+            "measured_over_v5e_bw": round(r["gflops"] / max(v5e_bw, 1e-9), 3),
+        }
     doc = {
         "merged_at": datetime.now(timezone.utc).isoformat(),
         "merged_from": [str(p) for p in pass_files],
