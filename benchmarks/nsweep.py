@@ -38,6 +38,10 @@ def main(argv=None):
                     default=["nasa4704", "pdb1HYS_like", "webgraph_like"])
     ap.add_argument("--tuned-configs", default=None)
     ap.add_argument("--deadline-ts", type=float, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="keep rows already in --out and skip their "
+                         "(matrix, N) cells — a timeout-cut sweep "
+                         "continues instead of overwriting")
     args = ap.parse_args(argv)
 
     import jax
@@ -80,13 +84,26 @@ def main(argv=None):
 
     pack_cache = PackCache()
     rows = []
+    done = set()
+    if args.resume and args.out and Path(args.out).exists():
+        prev = json.loads(Path(args.out).read_text())
+        rows = prev.get("results", [])
+        # only measured cells are final; error rows get retried
+        done = {(r["matrix"], r["n"]) for r in rows if "gflops" in r}
+        rows = [r for r in rows if "gflops" in r]
+        log(f"resume: {len(done)} measured cells kept from {args.out}")
     for name in args.matrices:
         if name not in gens:
             log(f"unknown matrix {name}; skipping")
             continue
+        if done and all((name, n) in done for n in args.ns):
+            log(f"== {name}: all cells done; skipping ==")
+            continue
         coo = _gen_cached(name, gens[name])
         log(f"== {name}: {coo.shape} nnz={coo.nnz} ==")
         for n in args.ns:
+            if (name, n) in done:
+                continue
             if args.deadline_ts and time.time() > args.deadline_ts:
                 log("deadline reached")
                 break

@@ -489,7 +489,14 @@ def run_one(name, coo, n, backend, use_autotune, rp_time=10, verify_gate=True,
         elif dense_cover >= 0.3 and coo.nnz >= 50_000:
             full_cost = _cb(coo_for_tuning, n=n)[0].predicted_cost
             h_cost = hybrid_cost(cand, n=n)
-            if h_cost < 0.8 * full_cost:
+            # A force-race exists to replace model decisions with measured
+            # ones: race hybrid whenever the model puts it anywhere near
+            # blocked (laplace3d r5: the ignored stored winner WAS hybrid,
+            # yet the 0.8 model gate kept hybrid out of the forced race
+            # at h/full = 0.87, so the actual winning family was never
+            # re-measured).
+            gate = 1.25 if force_race else 0.8
+            if h_cost < gate * full_cost:
                 split = cand
             log(
                 f"  hybrid model: {h_cost / 1e6:.1f}M vs blocked "
