@@ -43,11 +43,39 @@ def load_workload():
     )
 
 
+def wait_for_quiet_pool(max_wait_s=900):
+    """The shared TPU pool corrupts timings when anything else dispatches
+    (STATUS.md). The round schedulers record their pids in /tmp/{night,day}
+    .pid — if one is still measuring, wait (bounded) before taking the
+    headline number instead of racing it."""
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        busy = None
+        for pidfile in ("/tmp/night.pid", "/tmp/day.pid"):
+            try:
+                pid = int(Path(pidfile).read_text().strip())
+                cmd = Path(f"/proc/{pid}/cmdline").read_bytes()
+                # guard against pid reuse: only a scheduler counts as busy
+                if b"r5_night" in cmd or b"r5_day" in cmd:
+                    busy = (pidfile, pid)
+                    break
+            except (OSError, ValueError, FileNotFoundError):
+                continue
+        if busy is None:
+            return
+        log(f"waiting for scheduler {busy[0]} (pid {busy[1]}) to finish "
+            f"({int(deadline - time.time())}s left)")
+        time.sleep(30)
+    log("scheduler still running at wait deadline; measuring anyway "
+        "(min-of-samples defends against contention)")
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from sextans_tpu.utils.cache import enable_compilation_cache
 
+    wait_for_quiet_pool()
     enable_compilation_cache()
 
     from sextans_tpu.format.csr import CSRMatrix
