@@ -43,29 +43,37 @@ def load_workload():
     )
 
 
-def wait_for_quiet_pool(max_wait_s=900):
+SCHEDULER_PIDFILES = ("/tmp/night.pid", "/tmp/day.pid")
+SCHEDULER_MARKERS = (b"r5_night", b"r5_day")
+
+
+def busy_scheduler(pidfiles=SCHEDULER_PIDFILES, markers=SCHEDULER_MARKERS):
+    """Return (pidfile, pid) of a live round scheduler, else None. The
+    cmdline match guards against pid reuse after the scheduler exits."""
+    for pidfile in pidfiles:
+        try:
+            pid = int(Path(pidfile).read_text().strip())
+            cmd = Path(f"/proc/{pid}/cmdline").read_bytes()
+        except (OSError, ValueError):
+            continue
+        if any(m in cmd for m in markers):
+            return (pidfile, pid)
+    return None
+
+
+def wait_for_quiet_pool(max_wait_s=900, poll_s=30, _clock=time, **probe_kw):
     """The shared TPU pool corrupts timings when anything else dispatches
     (STATUS.md). The round schedulers record their pids in /tmp/{night,day}
     .pid — if one is still measuring, wait (bounded) before taking the
     headline number instead of racing it."""
-    deadline = time.time() + max_wait_s
-    while time.time() < deadline:
-        busy = None
-        for pidfile in ("/tmp/night.pid", "/tmp/day.pid"):
-            try:
-                pid = int(Path(pidfile).read_text().strip())
-                cmd = Path(f"/proc/{pid}/cmdline").read_bytes()
-                # guard against pid reuse: only a scheduler counts as busy
-                if b"r5_night" in cmd or b"r5_day" in cmd:
-                    busy = (pidfile, pid)
-                    break
-            except (OSError, ValueError, FileNotFoundError):
-                continue
+    deadline = _clock.time() + max_wait_s
+    while _clock.time() < deadline:
+        busy = busy_scheduler(**probe_kw)
         if busy is None:
             return
         log(f"waiting for scheduler {busy[0]} (pid {busy[1]}) to finish "
-            f"({int(deadline - time.time())}s left)")
-        time.sleep(30)
+            f"({int(deadline - _clock.time())}s left)")
+        _clock.sleep(min(poll_s, max(0.0, deadline - _clock.time())))
     log("scheduler still running at wait deadline; measuring anyway "
         "(min-of-samples defends against contention)")
 

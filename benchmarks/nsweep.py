@@ -29,6 +29,14 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+def resume_state(prev_doc):
+    """Measured cells kept from a previous (timeout-cut) sweep document:
+    returns (rows_kept, done_keys). Error rows are dropped so the resumed
+    sweep retries them; measured cells are final and never re-raced."""
+    rows = [r for r in prev_doc.get("results", []) if "gflops" in r]
+    return rows, {(r["matrix"], r["n"]) for r in rows}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -86,11 +94,7 @@ def main(argv=None):
     rows = []
     done = set()
     if args.resume and args.out and Path(args.out).exists():
-        prev = json.loads(Path(args.out).read_text())
-        rows = prev.get("results", [])
-        # only measured cells are final; error rows get retried
-        done = {(r["matrix"], r["n"]) for r in rows if "gflops" in r}
-        rows = [r for r in rows if "gflops" in r]
+        rows, done = resume_state(json.loads(Path(args.out).read_text()))
         log(f"resume: {len(done)} measured cells kept from {args.out}")
     for name in args.matrices:
         if name not in gens:

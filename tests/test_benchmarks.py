@@ -531,3 +531,65 @@ def test_merge_carries_gate_evidence_to_faster_winner(tmp_path):
     only = _json.loads(out.read_text())["results"][0]
     assert only["gate_note"] == "precise-gate:level1"
     assert "carried_from" not in only["precise_sample"]
+
+
+def test_nsweep_resume_state_keeps_measured_drops_errors():
+    from benchmarks.nsweep import resume_state
+
+    prev = {"results": [
+        {"matrix": "a", "n": 8, "gflops": 1.0},
+        {"matrix": "a", "n": 16, "error": "RuntimeError(...)"},
+        {"matrix": "b", "n": 8, "gflops": 2.0},
+    ]}
+    rows, done = resume_state(prev)
+    assert done == {("a", 8), ("b", 8)}  # error cell gets retried
+    assert [r["matrix"] for r in rows] == ["a", "b"]
+    assert resume_state({}) == ([], set())
+
+
+def test_bench_wait_for_quiet_pool(tmp_path, monkeypatch):
+    import bench
+
+    class Clock:
+        def __init__(self):
+            self.t = 0.0
+            self.slept = []
+
+        def time(self):
+            return self.t
+
+        def sleep(self, s):
+            self.slept.append(s)
+            self.t += s
+
+    # no pid files -> returns immediately
+    clk = Clock()
+    bench.wait_for_quiet_pool(
+        max_wait_s=100, _clock=clk, pidfiles=(str(tmp_path / "x.pid"),)
+    )
+    assert clk.slept == []
+
+    # a live "scheduler" (this test process) with a matching marker waits
+    # to the deadline; a non-matching cmdline is ignored (pid-reuse guard)
+    pidfile = tmp_path / "night.pid"
+    pidfile.write_text(str(__import__("os").getpid()))
+    clk = Clock()
+    bench.wait_for_quiet_pool(
+        max_wait_s=70, poll_s=30, _clock=clk,
+        pidfiles=(str(pidfile),), markers=(b"python",),
+    )
+    assert sum(clk.slept) == 70  # capped exactly at the deadline
+    clk = Clock()
+    bench.wait_for_quiet_pool(
+        max_wait_s=70, _clock=clk,
+        pidfiles=(str(pidfile),), markers=(b"no-such-marker",),
+    )
+    assert clk.slept == []  # pid alive but not a scheduler -> not busy
+
+    # stale pid (unlikely-to-exist pid number) -> not busy
+    pidfile.write_text("999999999")
+    clk = Clock()
+    bench.wait_for_quiet_pool(
+        max_wait_s=70, _clock=clk, pidfiles=(str(pidfile),)
+    )
+    assert clk.slept == []
