@@ -35,6 +35,8 @@ from sextans_tpu.ops.golden import golden_spmm, golden_spmm_exact, spmm_flops
 from sextans_tpu.ops.autodiff import spmm_op, spmm_value_op
 from sextans_tpu.ops.hybrid import HybridSpmmPlan, HybridSplit, split_structure
 from sextans_tpu.ops.plan import SpmmPlan
+from sextans_tpu.ops.serve import ServePlan, SpmmServer, bucketize_pack
+from sextans_tpu.parallel.hybrid_sharded import ShardedHybridPlan
 from sextans_tpu.parallel.partition import ShardedSpMatrix, pack_sharded, pack_sharded_k
 from sextans_tpu.parallel.sharding import (
     ShardedSpmmPlan,
@@ -75,6 +77,10 @@ __all__ = [
     "prepare",
     "plan",
     "SpmmPlan",
+    "SpmmServer",
+    "ServePlan",
+    "bucketize_pack",
+    "ShardedHybridPlan",
     "HybridSpmmPlan",
     "HybridSplit",
     "split_structure",
