@@ -132,6 +132,7 @@ def attempt_precise_gate(
     c_host=None,
     pack_cache=None,
     time_it: bool = True,
+    release_winner=None,
 ) -> dict:
     """Run the precise gate sample for one row; returns the rec updates.
 
@@ -196,6 +197,11 @@ def attempt_precise_gate(
     # precise_floor_probe.py); run it as the gate sample for the same
     # (matrix, N, alpha, beta) workload and stamp its backend.
     if err > 1e-6 and sample_backend != "pallas":
+        if best is None and release_winner is not None:
+            # no level plan survives to be timed — drop the winner's device
+            # buffers before the fallback packs its own copy (HBM headroom
+            # on the shared pool is what OOM'd webbase1M N=512)
+            release_winner()
         try:
             from sextans_tpu.format.pack import pack as _pack
             from sextans_tpu.ops.plan import SpmmPlan
@@ -373,12 +379,19 @@ def bank_row(row, coo, store, pack_cache, session):
 
     cmax = row.get("c_max_abs") or float(np.abs(exact).max())
     ulp = float(np.spacing(np.float32(cmax))) or 1e-45
+
+    def release_winner():
+        for p in (plan, getattr(plan, "_residue_plan", None)):
+            if p is not None:
+                p.__dict__.pop("_dev", None)
+        getattr(packed, "__dict__", {}).get("_dev_cache", {}).clear()
+
     upd = attempt_precise_gate(
         plan=plan, packed=packed, cfg=cfg, split=split, n=n,
         name=row["matrix"], coo=coo, csr=csr,
         b_dev=b_dev, c_dev=c_dev, alpha=alpha, beta=beta,
         exact=exact, fetch=fetch, ulp=ulp, full_device=full_device,
-        c_host=c, pack_cache=pack_cache,
+        c_host=c, pack_cache=pack_cache, release_winner=release_winner,
     )
     if "precise_sample" in upd:
         upd["precise_sample"]["session"] = session
@@ -403,6 +416,46 @@ def reachable_todo(rows, only=None, n_filter=None, max_nnz=None):
     return todo
 
 
+def _bank_isolated(args, todo):
+    """Spawn one child process per todo row (same CLI, --no-isolate with an
+    exact row selector). A device OOM poisons a JAX client for good
+    (STATUS.md) — in round 5's first banking passes a single webbase1M OOM
+    killed every row sorted after it. Isolation bounds the blast radius to
+    the row that OOM'd; each child rewrites the results file itself, so
+    the parent never writes (it would clobber child updates)."""
+    import subprocess
+
+    for r in todo:
+        if args.deadline_ts and time.time() > args.deadline_ts:
+            log("deadline reached; stopping")
+            break
+        cmd = [
+            sys.executable, str(Path(__file__).resolve()),
+            "--results", args.results,
+            "--tuned-configs", args.tuned_configs,
+            "--only", r["matrix"], "--n", str(r["n"]),
+            "--no-isolate",
+        ]
+        if args.deadline_ts:
+            cmd += ["--deadline-ts", str(args.deadline_ts)]
+        log(f"-- child: {r['matrix']} N={r['n']} --")
+        try:
+            rc = subprocess.run(cmd, timeout=1800).returncode
+        except subprocess.TimeoutExpired:
+            log(f"  !! child timed out: {r['matrix']} N={r['n']}")
+            continue
+        if rc != 0:
+            log(f"  !! child rc={rc}: {r['matrix']} N={r['n']}")
+    doc = json.loads(Path(args.results).read_text())
+    banked = sum(
+        1 for r in doc.get("results", [])
+        if r.get("meets_1e6_gate")
+        and any(t["matrix"] == r["matrix"] and t["n"] == r["n"] for t in todo)
+    )
+    log(f"banked {banked}/{len(todo)} rows (isolated children)")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default=str(HERE / "results_r5.json"))
@@ -413,6 +466,9 @@ def main(argv=None):
                     default=str(HERE / "tuned_configs.json"))
     ap.add_argument("--deadline-ts", type=float, default=None)
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--no-isolate", dest="isolate", action="store_false",
+                    default=True,
+                    help="bank in-process instead of one child per row")
     args = ap.parse_args(argv)
 
     doc = json.loads(Path(args.results).read_text())
@@ -424,6 +480,9 @@ def main(argv=None):
         log(f"  {r['matrix']} N={r['n']}: {r.get('gate_note', '(no note)')}")
     if args.dry_run or not todo:
         return 0
+    if args.isolate:
+        todo.sort(key=lambda r: (r.get("nnz", 0), r["n"]))
+        return _bank_isolated(args, todo)
 
     import jax
 

@@ -593,3 +593,71 @@ def test_bench_wait_for_quiet_pool(tmp_path, monkeypatch):
         max_wait_s=70, _clock=clk, pidfiles=(str(pidfile),)
     )
     assert clk.slept == []
+
+
+def test_bank_isolated_one_child_per_row_parent_never_writes(
+    tmp_path, monkeypatch
+):
+    import json as _json
+    import subprocess
+    import types
+
+    from benchmarks import precise_verify as pv
+
+    results = tmp_path / "results.json"
+    doc = {"results": [
+        {"matrix": "a_like", "n": 16, "gflops": 1.0, "nnz": 10},
+        {"matrix": "a_like", "n": 512, "gflops": 1.0, "nnz": 10},
+        {"matrix": "b_like", "n": 512, "gflops": 1.0, "nnz": 99},
+    ]}
+    results.write_text(_json.dumps(doc))
+
+    calls = []
+
+    def fake_run(cmd, timeout=None):
+        calls.append(cmd)
+        # child banks its row by rewriting the results file (as the real
+        # child does); second child "fails" with rc=1 — parent continues
+        cur = _json.loads(results.read_text())
+        sel = (cmd[cmd.index("--only") + 1], int(cmd[cmd.index("--n") + 1]))
+        for r in cur["results"]:
+            if (r["matrix"], r["n"]) == sel and sel[0] == "a_like":
+                r["meets_1e6_gate"] = True
+        results.write_text(_json.dumps(cur))
+        return types.SimpleNamespace(returncode=0 if sel[0] == "a_like" else 1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    args = types.SimpleNamespace(
+        results=str(results), tuned_configs="unused.json", deadline_ts=None
+    )
+    todo = [dict(r) for r in doc["results"]]
+    rc = pv._bank_isolated(args, todo)
+    assert rc == 0
+    assert len(calls) == 3
+    # every child carries --no-isolate (no recursive forking) + exact row
+    assert all("--no-isolate" in c for c in calls)
+    # children's updates survive (the parent never rewrites the file)
+    final = _json.loads(results.read_text())
+    banked = [(r["matrix"], r["n"]) for r in final["results"]
+              if r.get("meets_1e6_gate")]
+    assert banked == [("a_like", 16), ("a_like", 512)]
+
+
+def test_bank_isolated_respects_deadline(tmp_path, monkeypatch):
+    import json as _json
+    import subprocess
+    import types
+
+    from benchmarks import precise_verify as pv
+
+    results = tmp_path / "results.json"
+    results.write_text(_json.dumps({"results": []}))
+    monkeypatch.setattr(
+        subprocess, "run",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("spawned")),
+    )
+    args = types.SimpleNamespace(
+        results=str(results), tuned_configs="u.json", deadline_ts=1.0
+    )
+    rc = pv._bank_isolated(args, [{"matrix": "x", "n": 16}])
+    assert rc == 0  # deadline in the past -> no children spawned
