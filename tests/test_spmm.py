@@ -162,3 +162,14 @@ def test_kernel_microarch_knobs(n_acc, chunk_unroll):
         spmm(coo, b, ALPHA, BETA, c, backend="pallas_interpret", config=cfg)
     )
     assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_package_all_exports_resolve():
+    """Every name in sextans_tpu.__all__ must be importable (round 5 added
+    SpmmServer/ServePlan/bucketize_pack/ShardedHybridPlan at top level)."""
+    import sextans_tpu as sx
+
+    missing = [n for n in sx.__all__ if not hasattr(sx, n)]
+    assert not missing, missing
+    assert sx.SpmmServer is not None
+    assert sx.ShardedHybridPlan is not None
