@@ -38,8 +38,9 @@ import numpy as np
 
 from sextans_tpu.format.pack import PackedSpMatrix, pack
 from sextans_tpu.format.pack_edge import PackedSpMatrixEdge, pack_edge
+from sextans_tpu.format.pack_ell import PackedSpMatrixELL, pack_ell
 from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU, pack_mxu
-from sextans_tpu.utils.config import SpmmConfig, round_up
+from sextans_tpu.utils.config import SpmmConfig, cdiv, round_up
 
 __all__ = ["SpmmServer", "ServePlan", "bucketize_pack", "bucket_up"]
 
@@ -53,15 +54,61 @@ def bucket_up(x: int, growth: float = 1.25) -> int:
     return b
 
 
+def _bucketize_ell(packed: PackedSpMatrixELL, growth: float):
+    """Pad an ELL pack so every shape the engine jit keys on sits on the
+    bucket series: slots R, the real-row region (m_base), the virtual-row
+    count, total padded rows, and the gather space K. All padding
+    contributes exact zeros: pad slots compute 0 * B[0, :], pad rows are
+    all-zero slots, and pad virtual rows fold 0.0 into the last real fold
+    target (repeating it keeps ``fold_rows`` ascending — the engine's
+    scatter-add declares ``indices_are_sorted``)."""
+    cfg = packed.config
+    m_block = cfg.tile_m
+    r = packed.slots_per_row
+    n_virt = packed.n_virt
+    r_b = bucket_up(r, growth)
+    m_base_b = round_up(bucket_up(packed.m_base, growth), 8)
+    n_virt_b = bucket_up(n_virt, growth) if n_virt else 0
+    blocks_b = bucket_up(cdiv(m_base_b + n_virt_b, m_block), growth)
+    m_padded_b = blocks_b * m_block
+    cols = np.zeros((m_padded_b, r_b), np.int32)
+    vals = np.zeros((m_padded_b, r_b), np.float32)
+    cols[: packed.m_base, :r] = packed.cols[: packed.m_base]
+    vals[: packed.m_base, :r] = packed.vals[: packed.m_base]
+    fold = np.zeros(n_virt_b, np.int32)
+    if n_virt:
+        cols[m_base_b : m_base_b + n_virt, :r] = packed.cols[
+            packed.m_base : packed.m_base + n_virt
+        ]
+        vals[m_base_b : m_base_b + n_virt, :r] = packed.vals[
+            packed.m_base : packed.m_base + n_virt
+        ]
+        fold[:n_virt] = packed.fold_rows
+        fold[n_virt:] = packed.fold_rows[-1]
+    out = dataclasses.replace(
+        packed, cols=cols, vals=vals, fold_rows=fold,
+        slots_per_row=r_b, m_base=m_base_b,
+    )
+    # K only enters the kernel through B's gather-space extent; serve pads
+    # B rows to this bucket (gathered indices stay < k, so pad rows are
+    # never read with nonzero weight)
+    out.__dict__["k_bucket"] = bucket_up(packed.k, growth)
+    return out
+
+
 def bucketize_pack(packed, growth: float = 1.25):
     """Pad a packed matrix to canonical bucket dimensions.
 
     Returns a pack whose (ngroups, n_mtiles, n_kwins) are bucket values —
     the full shape signature the kernel jit keys on — with zero-valued
-    padding groups extending the last real group's m-tile run.
+    padding groups extending the last real group's m-tile run. ELL packs
+    bucket on (R, m_base, n_virt, row blocks, K) instead — see
+    :func:`_bucketize_ell`.
     """
     from sextans_tpu.parallel.partition import _pad_shard_groups
 
+    if isinstance(packed, PackedSpMatrixELL):
+        return _bucketize_ell(packed, growth)
     if isinstance(packed, PackedSpMatrixEdge):
         n_units = packed.n_chunks
     else:
@@ -100,14 +147,24 @@ class ServePlan:
         self.tile_n = tile_n
         self.n_padded = round_up(n, tile_n)
         self.m_padded = packed.m_padded
-        self.k_padded = packed.k_padded
+        # ELL buckets K too (k_bucket stamped by _bucketize_ell): B pads to
+        # the bucketed gather space so the engine jit never sees a raw K
+        self.k_padded = getattr(packed, "k_bucket", packed.k_padded)
         is_edge = isinstance(packed, PackedSpMatrixEdge)
+        is_ell = isinstance(packed, PackedSpMatrixELL)
         dev_cache = packed.__dict__.setdefault("_dev_cache", {})
         import jax
 
         dev_key = ("dev", jax.devices()[0].id, jax.devices()[0].platform)
         if dev_key in dev_cache:
             self._dev = dev_cache[dev_key]
+        elif is_ell:
+            self._dev = (
+                jnp.asarray(packed.vals),
+                jnp.asarray(packed.cols),
+                jnp.asarray(packed.fold_rows),
+            )
+            dev_cache[dev_key] = self._dev
         else:
             self._dev = (
                 jnp.asarray(packed.vals),
@@ -143,6 +200,14 @@ class ServePlan:
 
         cfg = self.packed.config
         a32, b32 = jnp.float32(alpha), jnp.float32(beta)
+        if self.backend == "ell":
+            from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
+
+            return spmm_ell_padded(
+                *self._dev, b_padded, c_padded, a32, b32,
+                m_block=cfg.tile_m, m_base=self.packed.m_base,
+                with_c=True, precise=bool(cfg.precise),
+            )
         if self.backend == "mxu":
             from sextans_tpu.ops.spmm_mxu_pallas import spmm_mxu_padded
 
@@ -220,9 +285,9 @@ class SpmmServer:
         growth: float = 1.25,
         pack_cache=None,
     ):
-        if fmt not in ("vpu", "mxu", "edge"):
+        if fmt not in ("vpu", "mxu", "edge", "ell"):
             raise ValueError(
-                f"SpmmServer supports vpu/mxu/edge formats, got {fmt!r}"
+                f"SpmmServer supports vpu/mxu/edge/ell formats, got {fmt!r}"
             )
         if backend == "auto":
             import jax
@@ -231,12 +296,18 @@ class SpmmServer:
             backend = {
                 "mxu": "mxu" if on_tpu else "mxu_interpret",
                 "edge": "edge" if on_tpu else "edge_interpret",
+                # the ELL HBM-gather engine is stock XLA: servable on both
+                # TPU and CPU (the Pallas chunk-gather twin is not — its
+                # scalar-prefetch chunk tables are per-matrix shaped)
+                "ell": "ell",
             }.get(fmt, "pallas" if on_tpu else "xla")
-        if backend in ("mxu_interpret", "edge_interpret", "ell",
+        if backend in ("mxu_interpret", "edge_interpret",
                        "ell_pallas", "ell_pallas_interpret"):
             raise ValueError(
                 f"backend {backend!r} not servable (interpret re-traces per "
-                "shape; ELL's m_base is a static kernel argument)"
+                "shape; ell_pallas's scalar-prefetch chunk tables are "
+                "per-matrix shaped — serve fmt='ell' uses the XLA gather "
+                "engine)"
             )
         self.n = n
         self.config = config
@@ -249,6 +320,16 @@ class SpmmServer:
 
     def bucket_signature(self, packed) -> tuple:
         """The full jit-cache key surrogate for a bucketized pack."""
+        if isinstance(packed, PackedSpMatrixELL):
+            return (
+                packed.m_padded,
+                packed.slots_per_row,
+                packed.n_virt,
+                packed.m_base,
+                getattr(packed, "k_bucket", packed.k),
+                self.tile_n,
+                self.backend,
+            )
         return (
             packed.n_groups
             if not isinstance(packed, PackedSpMatrixEdge)
@@ -272,6 +353,8 @@ class SpmmServer:
             packed = pack_mxu(coo, self.config)
         elif self.fmt == "edge":
             packed = pack_edge(coo, self.config)
+        elif self.fmt == "ell":
+            packed = pack_ell(coo, self.config)
         else:
             packed = pack(coo, self.config)
         bucketed = bucketize_pack(packed, self.growth)

@@ -91,8 +91,10 @@ def test_server_correct_and_zero_recompile(fmt, backend):
 def test_server_pallas_interpret_rejected():
     with pytest.raises(ValueError):
         SpmmServer(16, config=CFG, fmt="mxu", backend="mxu_interpret")
+    # fmt="ell" is servable since round 5 (XLA gather engine, auto backend)
+    assert SpmmServer(16, config=CFG, fmt="ell").backend == "ell"
     with pytest.raises(ValueError):
-        SpmmServer(16, config=CFG, fmt="ell")
+        SpmmServer(16, config=CFG, fmt="bogus")
 
 
 def test_server_beta_zero_and_shape_errors():
@@ -136,3 +138,90 @@ def test_server_edge_format_buckets():
         _bp(pack_edge(_coo(101, 121, 810, seed=9), cfg))
     )
     assert sig == sig2
+
+
+def _coo_fixed_degree(m, k, deg, seed):
+    """Every row has exactly ``deg`` nonzeros — keeps n_virt=0 at R>=deg."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(m, dtype=np.int32), deg)
+    cols = np.concatenate(
+        [rng.choice(k, size=deg, replace=False) for _ in range(m)]
+    ).astype(np.int32)
+    return COOMatrix(
+        (m, k), rows, cols,
+        rng.standard_normal(m * deg).astype(np.float32),
+    )
+
+
+def test_server_ell_correct_and_zero_recompile():
+    """ELL serving (round 5): the HBM-gather engine is stock XLA, so the
+    scattered classes it wins on are servable on CPU and TPU alike. Two
+    near-size low-degree matrices must land in one bucket and share the
+    compiled kernel."""
+    cfg = SpmmConfig(tile_m=64, ell_r=4, tile_n=128)
+    server = SpmmServer(16, config=cfg, fmt="ell", backend="ell")
+    # 180 and 183 both bucket to 185 rows; 280 and 285 both to K=290
+    coo1 = _coo_fixed_degree(180, 280, 3, seed=11)
+    coo2 = _coo_fixed_degree(183, 285, 3, seed=12)
+    rng = np.random.default_rng(13)
+
+    from sextans_tpu.ops.spmm_ell_xla import spmm_ell_padded
+
+    p1 = server.plan(coo1)
+    assert p1.bucket_new
+    b1 = rng.standard_normal((280, 16)).astype(np.float32)
+    c1 = rng.standard_normal((180, 16)).astype(np.float32)
+    got1 = p1(b1, 0.85, -2.06, c1)
+    want1 = golden_spmm_exact(CSRMatrix.from_coo(coo1), b1, 0.85, -2.06, c1)
+    assert np.abs(got1 - want1).max() < 1e-4
+    cache_after_first = spmm_ell_padded._cache_size()
+
+    p2 = server.plan(coo2)
+    assert not p2.bucket_new
+    b2 = rng.standard_normal((285, 16)).astype(np.float32)
+    c2 = rng.standard_normal((183, 16)).astype(np.float32)
+    got2 = p2(b2, 0.85, -2.06, c2)
+    want2 = golden_spmm_exact(CSRMatrix.from_coo(coo2), b2, 0.85, -2.06, c2)
+    assert np.abs(got2 - want2).max() < 1e-4
+    assert spmm_ell_padded._cache_size() == cache_after_first
+
+
+def test_server_ell_hub_rows_fold_with_bucket_padding():
+    """A power-law matrix with hub rows: virtual-row count gets bucket-
+    padded, and pad folds (0.0 into the last real fold target, keeping
+    fold_rows ascending for the engine's sorted scatter-add) must not
+    perturb the product."""
+    cfg = SpmmConfig(tile_m=64, ell_r=2, tile_n=128)
+    m, k = 150, 200
+    rng = np.random.default_rng(21)
+    rows = [np.repeat(np.arange(m, dtype=np.int32), 2)]
+    cols = [np.tile(rng.choice(k, size=2, replace=False), m).astype(np.int32)]
+    # three hub rows of degree 40 -> 20 chunks each at R=2 -> 57 virt rows
+    for hub in (5, 70, 140):
+        rows.append(np.full(40, hub, dtype=np.int32))
+        cols.append(rng.choice(k, size=40, replace=False).astype(np.int32))
+    rr = np.concatenate(rows)
+    cc = np.concatenate(cols)
+    lin = rr.astype(np.int64) * k + cc
+    _, keep = np.unique(lin, return_index=True)
+    coo = COOMatrix(
+        (m, k), rr[keep], cc[keep],
+        rng.standard_normal(keep.size).astype(np.float32),
+    )
+    server = SpmmServer(16, config=cfg, fmt="ell", backend="ell")
+    p = server.plan(coo)
+    packed = p.packed
+    assert packed.n_virt > 0
+    # fold_rows stays ascending after bucket padding (sorted scatter-add)
+    assert np.all(np.diff(packed.fold_rows) >= 0)
+    b = rng.standard_normal((k, 16)).astype(np.float32)
+    c = rng.standard_normal((m, 16)).astype(np.float32)
+    got = p(b, 0.85, -2.06, c)
+    want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_server_ell_pallas_backend_rejected():
+    with pytest.raises(ValueError):
+        SpmmServer(16, config=SpmmConfig(ell_r=4), fmt="ell",
+                   backend="ell_pallas")
