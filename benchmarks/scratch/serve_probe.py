@@ -56,23 +56,44 @@ def drive(server, coo, label):
     return t_first, t_steady
 
 
-def main():
+def _coo_low_degree(m, k, deg, seed):
+    """Every row gets ``deg`` distinct nonzeros (vectorized): the scattered
+    low-degree class the ELL engine serves. n_virt=0 at R>=deg, so two
+    near-size instances share an ELL bucket."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, k, size=m, dtype=np.int64)
+    step = rng.integers(1, k // deg, size=m, dtype=np.int64)
+    cols = (base[:, None] + step[:, None] * np.arange(deg)) % k
+    rows = np.repeat(np.arange(m, dtype=np.int32), deg)
+    return COOMatrix(
+        (m, k), rows, cols.reshape(-1).astype(np.int32),
+        rng.standard_normal(m * deg).astype(np.float32),
+    )
+
+
+def main(fmt="vpu"):
     import jax
 
-    print("devices:", jax.devices(), flush=True)
+    print("devices:", jax.devices(), "fmt:", fmt, flush=True)
     from sextans_tpu.utils.cache import enable_compilation_cache
 
     # NOTE: deliberately NOT enabling the persistent compile cache would
     # show the raw compile cost; we enable it (like production) and rely
     # on fresh-shape buckets for the cold number.
     enable_compilation_cache()
-    cfg = SpmmConfig()
-    server = SpmmServer(512, config=cfg, fmt="vpu")
+    if fmt == "ell":
+        cfg = SpmmConfig(tile_m=512, ell_r=4, tile_n=128)
+        server = SpmmServer(512, config=cfg, fmt="ell")
+        coo1 = _coo_low_degree(30000, 30000, 4, 31)
+        coo2 = _coo_low_degree(29500, 29000, 4, 32)
+    else:
+        cfg = SpmmConfig()
+        server = SpmmServer(512, config=cfg, fmt=fmt)
+        coo1 = _coo(30000, 30000, 600000, 31)
+        coo2 = _coo(29500, 29000, 580000, 32)
     # two never-before-seen shapes in one bucket family
-    m1, k1 = 30000, 30000
-    m2, k2 = 29500, 29000
-    t1_first, t1_steady = drive(server, _coo(m1, k1, 600000, 31), "matrix-1")
-    t2_first, t2_steady = drive(server, _coo(m2, k2, 580000, 32), "matrix-2")
+    t1_first, t1_steady = drive(server, coo1, "matrix-1")
+    t2_first, t2_steady = drive(server, coo2, "matrix-2")
     ratio = t2_first / max(t2_steady, 1e-9)
     print(
         f"cold-serve ratio (matrix-2 first/steady): {ratio:.2f}x "
@@ -82,4 +103,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "vpu")
