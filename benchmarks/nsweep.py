@@ -29,12 +29,27 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def resume_state(prev_doc):
+def resume_state(prev_doc, redo=()):
     """Measured cells kept from a previous (timeout-cut) sweep document:
     returns (rows_kept, done_keys). Error rows are dropped so the resumed
-    sweep retries them; measured cells are final and never re-raced."""
-    rows = [r for r in prev_doc.get("results", []) if "gflops" in r]
+    sweep retries them; measured cells are final and never re-raced —
+    except cells named in ``redo`` ({(matrix, n)}), which are dropped for
+    a fresh race (for suspect samples, e.g. a contended-window outlier
+    sitting far below its own neighbors)."""
+    rows = [
+        r for r in prev_doc.get("results", [])
+        if "gflops" in r and (r["matrix"], r["n"]) not in set(redo)
+    ]
     return rows, {(r["matrix"], r["n"]) for r in rows}
+
+
+def parse_redo(specs):
+    """--redo 'matrix:N' [...] -> {(matrix, n)}."""
+    out = set()
+    for s in specs or ():
+        mat, _, n = s.rpartition(":")
+        out.add((mat, int(n)))
+    return out
 
 
 def main(argv=None):
@@ -50,6 +65,9 @@ def main(argv=None):
                     help="keep rows already in --out and skip their "
                          "(matrix, N) cells — a timeout-cut sweep "
                          "continues instead of overwriting")
+    ap.add_argument("--redo", nargs="*", default=None, metavar="MATRIX:N",
+                    help="with --resume: drop these measured cells and "
+                         "re-race them")
     args = ap.parse_args(argv)
 
     import jax
@@ -94,7 +112,9 @@ def main(argv=None):
     rows = []
     done = set()
     if args.resume and args.out and Path(args.out).exists():
-        rows, done = resume_state(json.loads(Path(args.out).read_text()))
+        rows, done = resume_state(
+            json.loads(Path(args.out).read_text()), parse_redo(args.redo)
+        )
         log(f"resume: {len(done)} measured cells kept from {args.out}")
     for name in args.matrices:
         if name not in gens:

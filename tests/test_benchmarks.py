@@ -661,3 +661,18 @@ def test_bank_isolated_respects_deadline(tmp_path, monkeypatch):
     )
     rc = pv._bank_isolated(args, [{"matrix": "x", "n": 16}])
     assert rc == 0  # deadline in the past -> no children spawned
+
+
+def test_nsweep_redo_drops_named_measured_cells():
+    from benchmarks.nsweep import parse_redo, resume_state
+
+    prev = {"results": [
+        {"matrix": "a", "n": 64, "gflops": 79.0},
+        {"matrix": "a", "n": 128, "gflops": 158.0},
+    ]}
+    redo = parse_redo(["a:64"])
+    assert redo == {("a", 64)}
+    rows, done = resume_state(prev, redo)
+    assert done == {("a", 128)}  # the redone cell re-races
+    assert [r["n"] for r in rows] == [128]
+    assert parse_redo(None) == set()
