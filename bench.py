@@ -43,8 +43,8 @@ def load_workload():
     )
 
 
-SCHEDULER_PIDFILES = ("/tmp/night.pid", "/tmp/day.pid")
-SCHEDULER_MARKERS = (b"r5_night", b"r5_day")
+SCHEDULER_PIDFILES = ("/tmp/night.pid", "/tmp/day.pid", "/tmp/final.pid")
+SCHEDULER_MARKERS = (b"r5_night", b"r5_day", b"r5_final")
 
 
 def busy_scheduler(pidfiles=SCHEDULER_PIDFILES, markers=SCHEDULER_MARKERS):
