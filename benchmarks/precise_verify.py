@@ -422,31 +422,47 @@ def _bank_isolated(args, todo):
     (STATUS.md) — in round 5's first banking passes a single webbase1M OOM
     killed every row sorted after it. Isolation bounds the blast radius to
     the row that OOM'd; each child rewrites the results file itself, so
-    the parent never writes (it would clobber child updates)."""
+    the parent never writes (it would clobber child updates). Rows that
+    stay gate-false after the first pass get ONE more child each — the
+    observed failure modes (remote-compile HTTP 500 outage windows,
+    shared-pool HBM contention OOMs) are partly transient, and a fresh
+    child minutes later is the cheapest retry."""
     import subprocess
 
-    for r in todo:
-        if args.deadline_ts and time.time() > args.deadline_ts:
-            log("deadline reached; stopping")
-            break
-        cmd = [
-            sys.executable, str(Path(__file__).resolve()),
-            "--results", args.results,
-            "--tuned-configs", args.tuned_configs,
-            "--only", r["matrix"], "--n", str(r["n"]),
-            "--no-isolate",
-        ]
-        if args.deadline_ts:
-            cmd += ["--deadline-ts", str(args.deadline_ts)]
-        log(f"-- child: {r['matrix']} N={r['n']} --")
-        try:
-            rc = subprocess.run(cmd, timeout=1800).returncode
-        except subprocess.TimeoutExpired:
-            log(f"  !! child timed out: {r['matrix']} N={r['n']}")
-            continue
-        if rc != 0:
-            log(f"  !! child rc={rc}: {r['matrix']} N={r['n']}")
+    def run_children(rows_to_bank):
+        for r in rows_to_bank:
+            if args.deadline_ts and time.time() > args.deadline_ts:
+                log("deadline reached; stopping")
+                break
+            cmd = [
+                sys.executable, str(Path(__file__).resolve()),
+                "--results", args.results,
+                "--tuned-configs", args.tuned_configs,
+                "--only", r["matrix"], "--n", str(r["n"]),
+                "--no-isolate",
+            ]
+            if args.deadline_ts:
+                cmd += ["--deadline-ts", str(args.deadline_ts)]
+            log(f"-- child: {r['matrix']} N={r['n']} --")
+            try:
+                rc = subprocess.run(cmd, timeout=1800).returncode
+            except subprocess.TimeoutExpired:
+                log(f"  !! child timed out: {r['matrix']} N={r['n']}")
+                continue
+            if rc != 0:
+                log(f"  !! child rc={rc}: {r['matrix']} N={r['n']}")
+
+    run_children(todo)
     doc = json.loads(Path(args.results).read_text())
+    still = [
+        r for r in doc.get("results", [])
+        if not r.get("meets_1e6_gate")
+        and any(t["matrix"] == r["matrix"] and t["n"] == r["n"] for t in todo)
+    ]
+    if still and not (args.deadline_ts and time.time() > args.deadline_ts):
+        log(f"retry pass: {len(still)} rows still gate-false")
+        run_children(still)
+        doc = json.loads(Path(args.results).read_text())
     banked = sum(
         1 for r in doc.get("results", [])
         if r.get("meets_1e6_gate")
