@@ -35,11 +35,20 @@ def resume_state(prev_doc, redo=()):
     sweep retries them; measured cells are final and never re-raced —
     except cells named in ``redo`` ({(matrix, n)}), which are dropped for
     a fresh race (for suspect samples, e.g. a contended-window outlier
-    sitting far below its own neighbors)."""
+    sitting far below its own neighbors).
+
+    Kept rows are stamped with the PREVIOUS document's session (unless they
+    already carry one): the resumed sweep rewrites the file under its own
+    doc-level session header, which would otherwise mislabel the kept
+    measurements' device/timestamp provenance."""
+    prev_session = prev_doc.get("session")
     rows = [
         r for r in prev_doc.get("results", [])
         if "gflops" in r and (r["matrix"], r["n"]) not in set(redo)
     ]
+    if prev_session:
+        for r in rows:
+            r.setdefault("session", prev_session)
     return rows, {(r["matrix"], r["n"]) for r in rows}
 
 

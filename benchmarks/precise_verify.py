@@ -145,6 +145,7 @@ def attempt_precise_gate(
 
     m = coo.shape[0]
     best = None  # (err, level, pplan)
+    unsupported = None
     for level in (1, 2):
         cache_name = f"{name}@n{n}-residue" if split is not None else None
         try:
@@ -156,7 +157,11 @@ def attempt_precise_gate(
             log(f"  precise level {level} plan build failed: {str(e)[:90]}")
             continue
         if pplan is None:
-            return {"gate_note": f"precise-unsupported:{plan.backend}"}
+            # winner has no precise path (e.g. an xla-backend rebuild) —
+            # fall through to the vpu EFT fallback below, which proves the
+            # workload gate with any compilable precise config
+            unsupported = f"precise-unsupported:{plan.backend}"
+            break
         try:
             with _x64_scope(pplan):
                 pgot_dev = pplan(b_dev, alpha, beta, c_dev)
@@ -248,7 +253,7 @@ def attempt_precise_gate(
         except Exception as e:
             log(f"  precise vpu-fallback failed: {str(e)[:120]}")
     if pplan is None:
-        return {"gate_note": "precise-failed:no-level-ran"}
+        return {"gate_note": unsupported or "precise-failed:no-level-ran"}
     sample = {
         "level": level,
         "backend": sample_backend,
@@ -384,6 +389,11 @@ def bank_row(row, coo, store, pack_cache, session):
         for p in (plan, getattr(plan, "_residue_plan", None)):
             if p is not None:
                 p.__dict__.pop("_dev", None)
+                # HybridSpmmPlan also pins the same device arrays in the
+                # jit-arg tuples (ops/hybrid.py: _dense_args/_res_args) —
+                # popping _dev alone leaves the HBM allocated
+                p.__dict__.pop("_dense_args", None)
+                p.__dict__.pop("_res_args", None)
         getattr(packed, "__dict__", {}).get("_dev_cache", {}).clear()
 
     upd = attempt_precise_gate(

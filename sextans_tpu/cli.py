@@ -265,8 +265,9 @@ def main(argv=None) -> int:
 
         if args.shard_mode == "k":
             print("--hybrid shards row-wise; ignoring --shard-mode k")
-        if len(jax.devices()) < args.shards:
-            jax.config.update("jax_platforms", "cpu")
+        # NOTE: no jax_platforms fallback here — the backend is live by
+        # this point (packing above initialized it), so only the top-of-
+        # main() cpu switch can honor JAX_PLATFORMS=cpu for a CPU mesh.
         if len(jax.devices()) < args.shards:
             print(
                 f"need {args.shards} devices, have {len(jax.devices())} "
@@ -296,8 +297,6 @@ def main(argv=None) -> int:
             make_mesh,
         )
 
-        if len(jax.devices()) < args.shards:
-            jax.config.update("jax_platforms", "cpu")
         if len(jax.devices()) < args.shards:
             print(
                 f"need {args.shards} devices, have {len(jax.devices())} "

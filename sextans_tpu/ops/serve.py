@@ -140,6 +140,18 @@ class ServePlan:
     def __init__(self, packed, n: int, backend: str, tile_n: int):
         import jax.numpy as jnp
 
+        # ServePlan feeds B/C to the kernel untouched (the bucket's shared
+        # executable has no per-matrix gather). A degree-reordered pack
+        # (pack(..., reorder_cols=True)) needs B[col_perm] / C[row_perm]
+        # plumbing that only SpmmPlan implements — reject it loudly instead
+        # of serving silently wrong values.
+        for perm in ("col_perm", "row_perm"):
+            if getattr(packed, perm, None) is not None:
+                raise ValueError(
+                    f"ServePlan does not support reordered packs "
+                    f"(packed.{perm} is set); pack without reorder_cols/"
+                    f"reorder_rows for serving, or use SpmmPlan"
+                )
         self.packed = packed
         self.backend = backend
         self.m, self.k = packed.shape

@@ -236,6 +236,9 @@ def spmm_edge_padded(
             b_window_bytes=4 * window_k * tile_n,
             c_bytes=4 * (2 if with_c else 1) * tile_m * tile_n,
             vals_bytes=8 * edge_chunk,
+            # the compensated epilogue materializes ~8 full-tile EFT
+            # temporaries (same structure as spmm_pallas's epilogue)
+            epilogue_bytes=(8 * 4 * tile_m * tile_n) if precise else 0,
         )
 
     b3 = b_padded.reshape(n_kwins, window_k, n_padded)

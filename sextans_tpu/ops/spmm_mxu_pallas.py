@@ -180,6 +180,9 @@ def spmm_mxu_padded(
             b_window_bytes=4 * window_k * tile_n,
             c_bytes=4 * (2 if with_c else 1) * tile_m * tile_n,
             vals_bytes=4 * G * bk * MSLAB,
+            # the compensated epilogue runs per (MSLAB, tile_n) slab —
+            # ~8 slab-sized EFT temporaries live at once
+            epilogue_bytes=(8 * 4 * MSLAB * tile_n) if precise else 0,
         )
 
     b3 = b_padded.reshape(n_kwins, window_k, n_padded)
@@ -420,6 +423,8 @@ def spmm_mxu_ct_padded(
             b_window_bytes=4 * window_k * MSLAB,
             c_bytes=4 * (2 if with_c else 1) * n_ct * tile_m,
             vals_bytes=4 * G * bk * MSLAB,
+            # compensated epilogue per (n_ct, MSLAB) slab: ~8 EFT temporaries
+            epilogue_bytes=(8 * 4 * n_ct * MSLAB) if precise else 0,
         )
 
     b3 = b_padded.reshape(n_kwins, window_k, MSLAB)

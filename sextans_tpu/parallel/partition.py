@@ -144,6 +144,11 @@ def _pad_shard_groups(p, ngroups: int):
         group_mtile=group_mtile,
         group_kwin=group_kwin,
         stats=p.stats,
+        # padding does not touch the column/row space — a degree-reordered
+        # pack keeps its permutations (dropping them here would silently
+        # misalign B/C against the packed A)
+        col_perm=p.col_perm,
+        row_perm=getattr(p, "row_perm", None),
     )
     if hasattr(p, "qm"):
         from sextans_tpu.format.pack_mxu import PackedSpMatrixMXU

@@ -225,3 +225,20 @@ def test_server_ell_pallas_backend_rejected():
     with pytest.raises(ValueError):
         SpmmServer(16, config=SpmmConfig(ell_r=4), fmt="ell",
                    backend="ell_pallas")
+
+
+def test_serveplan_rejects_reordered_pack():
+    """A degree-reordered pack needs B[col_perm]/C[row_perm] plumbing that
+    only SpmmPlan has — ServePlan must refuse it rather than serve silently
+    wrong values (and bucket padding must not drop the perm record)."""
+    from sextans_tpu.format.pack import pack
+    from sextans_tpu.ops.serve import ServePlan
+
+    coo = _coo(96, 512, 600, seed=31)
+    packed = pack(coo, CFG, reorder_cols=True)
+    assert packed.col_perm is not None
+    bucketed = bucketize_pack(packed)
+    # _pad_shard_groups must carry the permutation through the padding
+    assert bucketed.col_perm is not None
+    with pytest.raises(ValueError, match="reordered"):
+        ServePlan(bucketed, 16, backend="xla", tile_n=128)
