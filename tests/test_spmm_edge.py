@@ -312,3 +312,30 @@ def test_edge_precise_masked_compose():
     want = golden_spmm_exact(CSRMatrix.from_coo(coo), b, 0.85, -2.06, c)
     assert np.isfinite(got).all()
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_edge_precise_oversized_config_raises_typed_vmem_error():
+    """The compensated (precise) epilogue keeps ~8 full-tile EFT temporaries
+    live; an oversized precise config must fail the VMEM pre-check with a
+    typed ValueError (autotuner-visible) instead of crashing inside the TPU
+    compiler. Regression: the guard's epilogue term was only wired into the
+    vpu kernel, so 4096x512-tile precise edge configs bypassed it."""
+    import jax.numpy as jnp
+    import pytest
+
+    from sextans_tpu.ops.spmm_edge_pallas import spmm_edge_padded
+
+    tile_m, window_k, tile_n, E = 4096, 4096, 512, 2048
+    vals = jnp.zeros((1, 1, E), jnp.float32)
+    meta = jnp.zeros((1, 1, E), jnp.int32)
+    cm = jnp.zeros((2,), jnp.int32)
+    ck = jnp.zeros((1,), jnp.int32)
+    b = jnp.zeros((window_k, tile_n), jnp.float32)
+    c = jnp.zeros((tile_m, tile_n), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM working set"):
+        spmm_edge_padded(
+            vals, meta, cm, ck, b, c,
+            jnp.float32(1.0), jnp.float32(0.0),
+            tile_m=tile_m, window_k=window_k, edge_chunk=E, tile_n=tile_n,
+            precise=True,
+        )
