@@ -59,12 +59,37 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+def collect_pass_races(pass_dir):
+    """Race evidence at the WORKLOAD level: (matrix, n) -> (families raced
+    across every pass, best measured GFLOPS among those passes). A forced
+    re-race lands in its own pass file; if its sample loses to the banked
+    row, the canonical merge keeps the banked row — but the re-race is
+    still the evidence that the model's best family was measured."""
+    out = {}
+    for f in sorted(Path(pass_dir).glob("pass_*.json")):
+        try:
+            d = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for r in d.get("results", []):
+            if not isinstance(r, dict) or "gflops" not in r:
+                continue
+            key = (r["matrix"], r.get("n"))
+            fams, best = out.get(key, (set(), 0.0))
+            fams |= {e.get("fmt") for e in r.get("race") or [] if "ms" in e}
+            fams.add(r.get("fmt") or r.get("backend"))
+            out[key] = (fams - {None}, max(best, r["gflops"]))
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default=str(HERE / "results_r5.json"))
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--threshold", type=float, default=U280_CLASS_GFLOPS)
+    ap.add_argument("--pass-dir", default=str(HERE / "passes_r5"))
     args = ap.parse_args(argv)
+    pass_races = collect_pass_races(args.pass_dir) if args.pass_dir else {}
 
     from benchmarks.matrices import suite
     from benchmarks.suite import _gen_cached, cover_upper_bound
@@ -114,19 +139,32 @@ def main(argv=None):
             except Exception:
                 pass
         model_best = max(fam_gf.values())
-        raced = sorted(
-            {e.get("fmt") for e in r.get("race") or [] if "ms" in e}
+        best_fam = max(fam_gf, key=fam_gf.get)
+        row_raced = {e.get("fmt") for e in r.get("race") or [] if "ms" in e}
+        pass_fams, pass_best = pass_races.get(
+            (name, args.n), (set(), 0.0)
         )
+        raced = sorted(
+            {f.split("+")[0] for f in (row_raced | pass_fams) - {None}}
+        )
+        if r["gflops"] >= 0.7 * model_best:
+            note = "at the measured engine floor"
+        elif best_fam.split("+")[0] in raced:
+            # the model's own best family WAS measured at this workload
+            # (row race or a forced re-race pass) and did not beat the
+            # banked row — the model is optimistic, the row is measured
+            note = (
+                f"model optimistic — {best_fam} measured at this workload "
+                f"(best pass {round(pass_best, 1)} GF); banked row stands"
+            )
+        else:
+            note = "below model — re-race candidate"
         r["scatter_roofline"] = {
             "model_gflops_by_family": fam_gf,
             "model_best_gflops": model_best,
             "measured_over_model": round(r["gflops"] / max(model_best, 1e-9), 2),
             "families_raced": raced,
-            "note": (
-                "at the measured engine floor"
-                if r["gflops"] >= 0.7 * model_best
-                else "below model — re-race candidate"
-            ),
+            "note": note,
         }
         stamped += 1
         log(f"{name} N={args.n}: {r['gflops']} GF vs model best "
